@@ -1,0 +1,180 @@
+"""Per-turn conversion dispatcher.
+
+Mirrors ``/root/reference/src/lib.rs``: ``convert_file`` detection priority
+(:95-139), ``convert_bytes`` dispatch (:142-209 — size guard, PDF rejection,
+code special-case, ordered converter chain), ``enforce_strict_mode``
+(:211-231), and extension normalization (:233-238).
+
+The pipeline generalizes per-document errors into best-effort per-row
+results: ``convert_payload`` never raises; failures land in ``error``.
+"""
+
+from __future__ import annotations
+
+from anytomd_spark.kernels import sniff
+from anytomd_spark.kernels.decode import UNSUPPORTED_FEATURE
+from anytomd_spark.kernels.docx_conv import convert_docx
+from anytomd_spark.kernels.html_conv import convert_html
+from anytomd_spark.kernels.ooxml import InputTooLarge
+from anytomd_spark.kernels.pptx_conv import convert_pptx
+from anytomd_spark.kernels.simple import (
+    MalformedDocument,
+    convert_code,
+    convert_csv,
+    convert_ipynb,
+    convert_json,
+    convert_plain_text,
+    convert_xml,
+)
+from anytomd_spark.kernels.xls_conv import convert_xls
+from anytomd_spark.kernels.xlsx_conv import convert_xlsx
+
+DEFAULT_MAX_INPUT_BYTES = 8 << 30
+DEFAULT_MAX_ZIP_BYTES = 16 << 30
+
+_PDF_REASON = (
+    "PDF is intentionally unsupported — Gemini, ChatGPT, and Claude "
+    "handle PDF natively"
+)
+
+
+class ConversionResult(dict):
+    """Dict result with keys markdown/plain_text/title/warnings/fmt/error."""
+
+
+def _image_stub(data: bytes) -> dict:
+    """Standalone image: ``![](image.{ext})`` with empty alt — the default
+    no-describer path of image.rs:41-117."""
+    from anytomd_spark.kernels.decode import mime_from_image
+
+    mime = mime_from_image("image", data)
+    ext = {
+        "image/png": "png", "image/jpeg": "jpg", "image/gif": "gif",
+        "image/webp": "webp", "image/bmp": "bmp", "image/tiff": "tiff",
+        "image/svg+xml": "svg", "image/heic": "heic", "image/avif": "avif",
+    }.get(mime, "")
+    filename = f"image.{ext}" if ext else "image"
+    return {
+        "markdown": f"![]({filename})\n",
+        "plain_text": "\n",
+        "title": None,
+        "warnings": [],
+    }
+
+
+def convert_bytes(
+    data: bytes,
+    extension: str,
+    strict: bool = False,
+    max_input_bytes: int = DEFAULT_MAX_INPUT_BYTES,
+    max_zip_bytes: int = DEFAULT_MAX_ZIP_BYTES,
+) -> dict:
+    """Dispatch by normalized extension; raises on unrecoverable errors."""
+    ext = sniff.normalize_extension(extension)
+    if len(data) > max_input_bytes:
+        raise InputTooLarge(
+            f"input size {len(data)} exceeds limit {max_input_bytes}"
+        )
+    if ext == "pdf":
+        raise MalformedDocument(_PDF_REASON)
+
+    if ext in sniff.CODE_EXTS or ext == "code":
+        result = convert_code(data, ext)
+    elif ext == "docx":
+        result = convert_docx(data, max_zip_bytes)
+    elif ext == "pptx":
+        result = convert_pptx(data, max_zip_bytes)
+    elif ext == "xlsx":
+        result = convert_xlsx(data, max_zip_bytes)
+    elif ext == "xls":
+        result = convert_xls(data)
+    elif ext == "ipynb":
+        result = convert_ipynb(data)
+    elif ext == "json":
+        result = convert_json(data)
+    elif ext == "xml":
+        result = convert_xml(data)
+    elif ext == "csv":
+        result = convert_csv(data)
+    elif ext in ("html", "htm"):
+        result = convert_html(data)
+    elif sniff.detect_by_extension(ext) == "image":
+        result = _image_stub(data)
+    elif sniff.detect_by_extension(ext) == "txt" or ext == "txt":
+        result = convert_plain_text(data)
+    else:
+        raise MalformedDocument(f"unsupported format: {ext!r}")
+
+    if strict and result["warnings"]:
+        first = result["warnings"][0]
+        loc = f" ({first['location']})" if first.get("location") else ""
+        raise MalformedDocument(
+            f"strict mode: encountered warning [{first['code']}] "
+            f"{first['message']}{loc}"
+        )
+    return result
+
+
+def convert_payload(
+    payload: str,
+    ext_hint: str | None = None,
+    strict: bool = False,
+    max_input_bytes: int = DEFAULT_MAX_INPUT_BYTES,
+    max_zip_bytes: int = DEFAULT_MAX_ZIP_BYTES,
+) -> dict:
+    """Best-effort conversion of one transcript turn. Never raises.
+
+    Returns a dict with markdown/plain_text/title/warnings plus:
+    ``fmt`` (resolved format or None), ``error`` (message or None),
+    ``bytes_in``, ``chars_out``.
+    """
+    fmt, binary = sniff.sniff_format(payload, ext_hint)
+    data = binary if binary is not None else payload.encode("utf-8")
+    bytes_in = len(data)
+
+    if fmt is None:
+        return {
+            "markdown": None, "plain_text": None, "title": None,
+            "warnings": [], "fmt": None,
+            "error": f"unsupported format (hint={ext_hint!r})",
+            "bytes_in": bytes_in, "chars_out": 0,
+        }
+
+    # code formats keep the concrete extension for the language tag
+    ext = fmt
+    if fmt == "code" and ext_hint:
+        ext = sniff.normalize_extension(ext_hint)
+    elif fmt == "txt" and ext_hint:
+        ext = sniff.normalize_extension(ext_hint)
+    elif fmt == "html":
+        ext = "html"
+
+    try:
+        result = convert_bytes(
+            data, ext, strict=strict,
+            max_input_bytes=max_input_bytes, max_zip_bytes=max_zip_bytes,
+        )
+        return {
+            "markdown": result["markdown"],
+            "plain_text": result["plain_text"],
+            "title": result["title"],
+            "warnings": result["warnings"],
+            "fmt": fmt,
+            "error": None,
+            "bytes_in": bytes_in,
+            "chars_out": len(result["markdown"] or ""),
+        }
+    except Exception as e:  # noqa: BLE001 - best-effort row semantics
+        return {
+            "markdown": None, "plain_text": None, "title": None,
+            "warnings": [], "fmt": fmt,
+            "error": f"{type(e).__name__}: {e}",
+            "bytes_in": bytes_in, "chars_out": 0,
+        }
+
+
+class ConvertErr(Exception):
+    pass
+
+
+_ = UNSUPPORTED_FEATURE

@@ -1,0 +1,551 @@
+"""HTML to Markdown conversion kernel.
+
+Reimplements the DOM edge-walk of ``/root/reference/src/converter/html.rs``
+(WalkerState :67-225, handle_open :255-420, handle_close :424-548,
+handle_text :552-645, collapse_whitespace :648-663, render_table :669-691,
+extract_title :44-63) on top of the stdlib ``html.parser`` tokenizer with a
+small WHATWG-ish implied-end-tag layer (html5ever's tree builder closes
+unclosed ``li``/``p``/``tr``/``td`` elements; we synthesize the same close
+edges so the walker sees an equivalent Open/Close stream).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from anytomd_spark.kernels import markdown as md
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Block-level tags that implicitly close an open <p> (WHATWG "close a p element")
+_P_CLOSERS = frozenset(
+    (
+        "address article aside blockquote details div dl fieldset figcaption "
+        "figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr main menu nav "
+        "ol p pre section table ul"
+    ).split()
+)
+# Inline/formatting tags that may sit between an open <p> and the stack top
+_FORMATTING = frozenset(
+    "a b i u s em strong code span small big font sub sup mark abbr".split()
+)
+_SKIP_TAGS = frozenset(("script", "style", "head"))
+
+
+class _StrBuf:
+    """Append-mostly string buffer with O(1) length and cheap tail truncation."""
+
+    __slots__ = ("chunks", "length")
+
+    def __init__(self) -> None:
+        self.chunks: list[str] = []
+        self.length = 0
+
+    def push(self, s: str) -> None:
+        if s:
+            self.chunks.append(s)
+            self.length += len(s)
+
+    def tail_from(self, pos: int) -> str:
+        """Return buffer[pos:] without mutating."""
+        if pos >= self.length:
+            return ""
+        out: list[str] = []
+        remaining = self.length - pos
+        for chunk in reversed(self.chunks):
+            if remaining <= 0:
+                break
+            if len(chunk) >= remaining:
+                out.append(chunk[len(chunk) - remaining:])
+                remaining = 0
+            else:
+                out.append(chunk)
+                remaining -= len(chunk)
+        return "".join(reversed(out))
+
+    def truncate(self, pos: int) -> None:
+        if pos >= self.length:
+            return
+        remove = self.length - pos
+        while remove > 0 and self.chunks:
+            last = self.chunks[-1]
+            if len(last) <= remove:
+                self.chunks.pop()
+                remove -= len(last)
+            else:
+                self.chunks[-1] = last[: len(last) - remove]
+                remove = 0
+        self.length = pos
+
+    def last_char(self) -> str:
+        for chunk in reversed(self.chunks):
+            if chunk:
+                return chunk[-1]
+        return ""
+
+    def tail_newline_count(self) -> int:
+        count = 0
+        for chunk in reversed(self.chunks):
+            stripped = len(chunk.rstrip("\n"))
+            count += len(chunk) - stripped
+            if stripped:
+                break
+        return count
+
+    def value(self) -> str:
+        joined = "".join(self.chunks)
+        self.chunks = [joined] if joined else []
+        return joined
+
+
+def collapse_whitespace(s: str) -> str:
+    """Collapse runs of ASCII whitespace into single spaces (html.rs:648-663)."""
+    result: list[str] = []
+    prev_ws = False
+    for c in s:
+        if c in " \t\n\r\x0b\x0c":
+            if not prev_ws:
+                result.append(" ")
+            prev_ws = True
+        else:
+            result.append(c)
+            prev_ws = False
+    return "".join(result)
+
+
+class _Walker:
+    """Dual-buffer markdown/plain emitter; one Open/Close edge per element."""
+
+    def __init__(self) -> None:
+        self.out = _StrBuf()
+        self.plain = _StrBuf()
+        self.list_stack: list[list] = []  # [ordered, item_count]
+        self.in_pre = False
+        self.skip_depth = 0
+        self.blockquote_depth = 0
+        self.trailing_newlines = 0
+        self.plain_trailing_newlines = 0
+        self.pending_heading: tuple[int, int, int] | None = None  # (level, md_pos, plain_pos)
+        self.pending_link: tuple[str, int] | None = None  # (href, md_pos)
+        self.table: dict | None = None
+        # title extraction (html.rs:44-63): first <title>, fallback first <h1>
+        self.title_text: str | None = None
+        self.first_h1_text: str | None = None
+        self._title_capture: list[str] | None = None
+        self._h1_capture: list[str] | None = None
+
+    # ---- buffer helpers ----
+
+    def push_str(self, s: str) -> None:
+        if not s:
+            return
+        self.out.push(s)
+        stripped = len(s.rstrip("\n"))
+        if stripped == 0:
+            self.trailing_newlines += len(s)
+        else:
+            self.trailing_newlines = len(s) - stripped
+
+    def ensure_newline(self) -> None:
+        if self.trailing_newlines < 1 and self.out.length:
+            self.push_str("\n")
+
+    def ensure_blank_line(self) -> None:
+        if not self.out.length:
+            return
+        if self.blockquote_depth > 0:
+            prefix = "> " * self.blockquote_depth
+            self.ensure_newline()
+            if self.trailing_newlines < 2:
+                self.push_str(prefix)
+                self.push_str("\n")
+        else:
+            while self.trailing_newlines < 2:
+                self.push_str("\n")
+
+    def plain_push_str(self, s: str) -> None:
+        if not s:
+            return
+        self.plain.push(s)
+        stripped = len(s.rstrip("\n"))
+        if stripped == 0:
+            self.plain_trailing_newlines += len(s)
+        else:
+            self.plain_trailing_newlines = len(s) - stripped
+
+    def plain_ensure_newline(self) -> None:
+        if self.plain_trailing_newlines < 1 and self.plain.length:
+            self.plain_push_str("\n")
+
+    def plain_ensure_blank_line(self) -> None:
+        if not self.plain.length:
+            return
+        while self.plain_trailing_newlines < 2:
+            self.plain_push_str("\n")
+
+    def both_push_str(self, s: str) -> None:
+        self.push_str(s)
+        self.plain_push_str(s)
+
+    def both_ensure_newline(self) -> None:
+        self.ensure_newline()
+        self.plain_ensure_newline()
+
+    def both_ensure_blank_line(self) -> None:
+        self.ensure_blank_line()
+        self.plain_ensure_blank_line()
+
+    def in_table_cell(self) -> bool:
+        return self.table is not None and self.table["in_cell"]
+
+    # ---- open edge ----
+
+    def handle_open(self, tag: str, attrs: dict[str, str | None]) -> None:
+        if self._title_capture is None and tag == "title" and self.title_text is None:
+            self._title_capture = []
+        if self._h1_capture is None and tag == "h1" and self.first_h1_text is None:
+            self._h1_capture = []
+        if tag in _SKIP_TAGS:
+            self.skip_depth += 1
+            return
+        if self.skip_depth > 0:
+            return
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            self.both_ensure_blank_line()
+            self.pending_heading = (int(tag[1]), self.out.length, self.plain.length)
+        elif tag == "p":
+            if not self.in_table_cell():
+                self.both_ensure_blank_line()
+        elif tag == "a":
+            self.pending_link = (attrs.get("href") or "", self.out.length)
+        elif tag == "img":
+            alt = attrs.get("alt") or ""
+            src = attrs.get("src") or ""
+            self.push_str(f"![{alt}]({src})")
+            self.plain_push_str(alt)
+        elif tag in ("strong", "b"):
+            self.push_str("**")
+        elif tag in ("em", "i"):
+            self.push_str("*")
+        elif tag == "code":
+            if not self.in_pre:
+                self.push_str("`")
+        elif tag == "pre":
+            self.in_pre = True
+            self.both_ensure_blank_line()
+            self.push_str("```\n")
+        elif tag in ("ul", "ol"):
+            if self.list_stack:
+                self.both_ensure_newline()
+            else:
+                self.both_ensure_blank_line()
+            self.list_stack.append([tag == "ol", 0])
+        elif tag == "li":
+            indent = "  " * max(0, len(self.list_stack) - 1)
+            if self.list_stack:
+                ctx = self.list_stack[-1]
+                ctx[1] += 1
+                prefix = f"{indent}{ctx[1]}. " if ctx[0] else f"{indent}- "
+            else:
+                prefix = f"{indent}- "
+            self.push_str(prefix)
+            self.plain_push_str(indent)
+        elif tag == "table":
+            self.both_ensure_blank_line()
+            self.table = {
+                "headers": [], "rows": [], "current_row": [],
+                "current_cell": [], "in_header": False, "in_cell": False,
+            }
+        elif tag == "thead":
+            if self.table is not None:
+                self.table["in_header"] = True
+        elif tag == "tbody":
+            if self.table is not None:
+                self.table["in_header"] = False
+        elif tag == "tr":
+            if self.table is not None:
+                self.table["current_row"] = []
+        elif tag in ("th", "td"):
+            if self.table is not None:
+                self.table["current_cell"] = []
+                self.table["in_cell"] = True
+        elif tag == "blockquote":
+            self.blockquote_depth += 1
+            self.ensure_newline()
+            self.plain_ensure_newline()
+        elif tag == "hr":
+            self.ensure_blank_line()
+            self.push_str("---\n")
+            self.plain_ensure_blank_line()
+        elif tag == "br":
+            if self.in_pre:
+                self.both_push_str("\n")
+            elif self.in_table_cell():
+                pass  # table cells: newline dropped (html.rs:392-394)
+            else:
+                self.both_push_str("\n")
+                if self.blockquote_depth > 0:
+                    self.push_str("> " * self.blockquote_depth)
+        elif tag == "input":
+            if (attrs.get("type") or "") == "checkbox":
+                self.push_str("[x] " if "checked" in attrs else "[ ] ")
+
+    # ---- close edge ----
+
+    def handle_close(self, tag: str) -> None:
+        if tag == "title" and self._title_capture is not None:
+            text = "".join(self._title_capture).strip()
+            if text and self.title_text is None:
+                self.title_text = text
+            self._title_capture = None
+        if tag == "h1" and self._h1_capture is not None:
+            text = "".join(self._h1_capture).strip()
+            if text and self.first_h1_text is None:
+                self.first_h1_text = text
+            self._h1_capture = None
+        if tag in _SKIP_TAGS:
+            self.skip_depth = max(0, self.skip_depth - 1)
+            return
+        if self.skip_depth > 0:
+            return
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            if self.pending_heading is not None:
+                level, start, plain_start = self.pending_heading
+                self.pending_heading = None
+                text = self.out.tail_from(start)
+                self.out.truncate(start)
+                self.trailing_newlines = self.out.tail_newline_count()
+                self.push_str(md.format_heading(level, text.strip()))
+                plain_text = self.plain.tail_from(plain_start)
+                self.plain.truncate(plain_start)
+                self.plain_trailing_newlines = self.plain.tail_newline_count()
+                trimmed = plain_text.strip()
+                if trimmed:
+                    self.plain_push_str(trimmed)
+                    self.plain_push_str("\n")
+        elif tag == "p":
+            if not self.in_table_cell():
+                self.both_ensure_blank_line()
+        elif tag == "a":
+            if self.pending_link is not None:
+                href, start = self.pending_link
+                self.pending_link = None
+                text = self.out.tail_from(start)
+                self.out.truncate(start)
+                self.trailing_newlines = self.out.tail_newline_count()
+                if not href:
+                    self.push_str(text.strip())
+                else:
+                    self.push_str(f"[{text.strip()}]({href})")
+        elif tag in ("strong", "b"):
+            self.push_str("**")
+        elif tag in ("em", "i"):
+            self.push_str("*")
+        elif tag == "code":
+            if not self.in_pre:
+                self.push_str("`")
+        elif tag == "pre":
+            self.ensure_newline()
+            self.push_str("```\n")
+            self.plain_ensure_newline()
+            self.in_pre = False
+        elif tag in ("ul", "ol"):
+            if self.list_stack:
+                self.list_stack.pop()
+            if not self.list_stack:
+                self.both_ensure_blank_line()
+        elif tag == "li":
+            self.both_ensure_newline()
+        elif tag == "table":
+            if self.table is not None:
+                tc = self.table
+                self.table = None
+                self.push_str(_render_table(tc, plain=False))
+                self.plain_push_str(_render_table(tc, plain=True))
+        elif tag == "tr":
+            if self.table is not None:
+                row = self.table["current_row"]
+                self.table["current_row"] = []
+                if self.table["in_header"]:
+                    self.table["headers"] = row
+                else:
+                    self.table["rows"].append(row)
+        elif tag in ("th", "td"):
+            if self.table is not None:
+                cell = "".join(self.table["current_cell"]).strip()
+                self.table["current_cell"] = []
+                self.table["current_row"].append(cell)
+                self.table["in_cell"] = False
+        elif tag == "blockquote":
+            self.blockquote_depth = max(0, self.blockquote_depth - 1)
+            self.both_ensure_newline()
+
+    # ---- text ----
+
+    def handle_text(self, raw: str) -> None:
+        if self._title_capture is not None:
+            self._title_capture.append(raw)
+        if self._h1_capture is not None:
+            self._h1_capture.append(raw)
+        if self.skip_depth > 0:
+            return
+        if self.table is not None:
+            if self.table["in_cell"]:
+                self.table["current_cell"].append(raw)
+            return  # text between table tags outside cells is dropped
+        if self.in_pre:
+            self.both_push_str(raw)
+            return
+        collapsed = collapse_whitespace(raw)
+        if not collapsed:
+            return
+        if collapsed == " ":
+            if self.out.length and self.trailing_newlines == 0:
+                last = self.out.last_char()
+                if last not in (" ", "\t"):
+                    self.push_str(" ")
+            if self.plain.length and self.plain_trailing_newlines == 0:
+                last = self.plain.last_char()
+                if last not in (" ", "\t"):
+                    self.plain_push_str(" ")
+            return
+        md_collapsed = collapsed
+        if collapsed.startswith(" ") and self.out.length:
+            if self.out.last_char() in (" ", "\t"):
+                md_collapsed = collapsed[1:]
+        plain_collapsed = collapsed
+        if collapsed.startswith(" ") and self.plain.length:
+            if self.plain.last_char() in (" ", "\t"):
+                plain_collapsed = collapsed[1:]
+        if md_collapsed:
+            if self.blockquote_depth > 0:
+                prefix = "> " * self.blockquote_depth
+                if self.trailing_newlines > 0 or not self.out.length:
+                    self.push_str(prefix)
+                for i, line in enumerate(md_collapsed.split("\n")):
+                    if i > 0:
+                        self.push_str("\n")
+                        self.push_str(prefix)
+                    self.push_str(line)
+            else:
+                self.push_str(md_collapsed)
+        if plain_collapsed:
+            self.plain_push_str(plain_collapsed)
+
+
+def _render_table(tc: dict, plain: bool) -> str:
+    """No <thead> -> first row becomes the header (html.rs:669-691)."""
+    if not tc["headers"] and tc["rows"]:
+        headers, data_rows = tc["rows"][0], tc["rows"][1:]
+    else:
+        headers, data_rows = tc["headers"], tc["rows"]
+    if not headers:
+        return ""
+    if plain:
+        return md.build_table_plain(headers, data_rows)
+    return md.build_table(headers, data_rows)
+
+
+class _EdgeParser(HTMLParser):
+    """Tokenizer -> Open/Close edge stream with implied end tags."""
+
+    def __init__(self, walker: _Walker) -> None:
+        super().__init__(convert_charrefs=True)
+        self.walker = walker
+        self.stack: list[str] = []
+
+    # -- implied end-tag synthesis (subset of WHATWG tree construction) --
+
+    def _close_implied_for(self, tag: str) -> None:
+        if tag == "li":
+            self._close_up_to("li", stop_at=("ul", "ol"))
+        elif tag in ("dt", "dd"):
+            self._close_up_to_any(("dt", "dd"), stop_at=("dl",))
+        elif tag in ("td", "th"):
+            self._close_up_to_any(("td", "th"), stop_at=("tr", "table"))
+        elif tag == "tr":
+            self._close_up_to("tr", stop_at=("table", "thead", "tbody", "tfoot"))
+        elif tag in ("thead", "tbody", "tfoot"):
+            self._close_up_to("tr", stop_at=("table",))
+        if tag in _P_CLOSERS and "p" in self.stack:
+            idx = len(self.stack) - 1 - self.stack[::-1].index("p")
+            if all(t in _FORMATTING for t in self.stack[idx + 1:]):
+                while len(self.stack) > idx:
+                    self._pop_close()
+
+    def _close_up_to(self, target: str, stop_at: tuple[str, ...]) -> None:
+        self._close_up_to_any((target,), stop_at)
+
+    def _close_up_to_any(self, targets: tuple[str, ...], stop_at: tuple[str, ...]) -> None:
+        for i in range(len(self.stack) - 1, -1, -1):
+            t = self.stack[i]
+            if t in stop_at:
+                return
+            if t in targets:
+                while len(self.stack) > i:
+                    self._pop_close()
+                return
+
+    def _pop_close(self) -> None:
+        self.walker.handle_close(self.stack.pop())
+
+    # -- tokenizer callbacks --
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        attrs_dict = dict(attrs)
+        if tag in VOID_ELEMENTS:
+            self.walker.handle_open(tag, attrs_dict)
+            self.walker.handle_close(tag)
+            return
+        self._close_implied_for(tag)
+        self.stack.append(tag)
+        self.walker.handle_open(tag, attrs_dict)
+
+    def handle_startendtag(self, tag: str, attrs: list) -> None:
+        attrs_dict = dict(attrs)
+        self.walker.handle_open(tag, attrs_dict)
+        self.walker.handle_close(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        if tag in self.stack:
+            idx = len(self.stack) - 1 - self.stack[::-1].index(tag)
+            while len(self.stack) > idx:
+                self._pop_close()
+        # stray end tag with no matching open: ignored
+
+    def handle_data(self, data: str) -> None:
+        self.walker.handle_text(data)
+
+    def close(self) -> None:
+        super().close()
+        while self.stack:
+            self._pop_close()
+
+
+def convert_html(data: bytes) -> dict:
+    """Convert HTML bytes to (markdown, plain, title) per html.rs:22-40."""
+    text = data.decode("utf-8")  # html.rs:27 errors on invalid UTF-8
+    if text.startswith("﻿"):
+        text = text[1:]
+    walker = _Walker()
+    parser = _EdgeParser(walker)
+    parser.feed(text)
+    parser.close()
+
+    out = walker.out.value().strip()
+    if out:
+        out += "\n"
+    plain = walker.plain.value().strip()
+    if plain:
+        plain += "\n"
+    title = walker.title_text or walker.first_h1_text
+    return {
+        "markdown": out,
+        "plain_text": plain,
+        "title": title,
+        "warnings": [],
+    }

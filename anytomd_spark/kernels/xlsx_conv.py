@@ -1,0 +1,358 @@
+"""XLSX to Markdown conversion kernel (direct OOXML parse, no calamine).
+
+Reimplements ``/root/reference/src/converter/xlsx.rs`` semantics:
+per-sheet ``## SheetName`` + pipe table with first row as header
+(convert_inner :246-329), cell formatting (format_cell :184-237 — whole
+floats -> int, bools -> TRUE/FALSE, datetimes -> ``YYYY-MM-DD[ HH:MM:SS]``,
+error cells -> text + MalformedSegment warning), empty sheets skipped,
+sections joined by ``\\n``, Excel column letters in warning locations
+(col_letter :161-172). The bounding-box range semantics match calamine's
+``worksheet_range``: iteration starts at the minimal (row, col) corner that
+holds data and pads gaps with empty cells.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+from anytomd_spark.kernels.decode import MALFORMED_SEGMENT, SKIPPED_ELEMENT, warning
+from anytomd_spark.kernels.markdown import (
+    build_table,
+    build_table_plain,
+    format_heading,
+)
+from anytomd_spark.kernels.ooxml import (
+    attr_suffix,
+    open_zip,
+    parse_relationships,
+    parse_xml_events,
+    read_zip_text,
+    validate_zip_budget,
+)
+from anytomd_spark.kernels.simple import MalformedDocument
+
+_CELL_REF = re.compile(r"([A-Z]+)([0-9]+)")
+
+# Built-in date/time number formats (ECMA-376 §18.8.30), as calamine detects
+_BUILTIN_DATE_FMTS = set(range(14, 23)) | set(range(45, 48))
+_DATE_TOKEN = re.compile(r"[ymdhs]", re.IGNORECASE)
+
+
+def col_letter(col: int) -> str:
+    """0-based column index -> Excel letters (xlsx.rs:161-172)."""
+    result = ""
+    n = col
+    while True:
+        result = chr(ord("A") + n % 26) + result
+        if n < 26:
+            break
+        n = n // 26 - 1
+    return result
+
+
+def _col_index(letters: str) -> int:
+    n = 0
+    for ch in letters:
+        n = n * 26 + (ord(ch) - ord("A") + 1)
+    return n - 1
+
+
+def format_float(f: float) -> str:
+    """Rust ``f64::to_string`` = shortest round-trip, like Python repr."""
+    if f != f or f in (float("inf"), float("-inf")):
+        return {float("inf"): "inf", float("-inf"): "-inf"}.get(f, "NaN")
+    if f == int(f) and abs(f) < 1e17:
+        return str(int(f))  # format_cell: fract()==0 -> "{:.0}"
+    return repr(f)
+
+
+def excel_serial_to_datetime(serial: float) -> _dt.datetime | None:
+    """1900 date system; serial 1 = 1900-01-01 (base 1899-12-30 after the
+    Lotus leap bug for serials >= 60, matching calamine's as_datetime)."""
+    if serial < 0:
+        return None
+    base = _dt.datetime(1899, 12, 30)
+    if serial < 60:
+        base = _dt.datetime(1899, 12, 31)
+    days = int(serial)
+    frac = serial - days
+    seconds = round(frac * 86400)
+    try:
+        return base + _dt.timedelta(days=days, seconds=seconds)
+    except OverflowError:
+        return None
+
+
+def _format_datetime(serial: float) -> str:
+    ndt = excel_serial_to_datetime(serial)
+    if ndt is None:
+        return format_float(serial)
+    if ndt.hour == 0 and ndt.minute == 0 and ndt.second == 0:
+        return f"{ndt.year:04d}-{ndt.month:02d}-{ndt.day:02d}"
+    return (
+        f"{ndt.year:04d}-{ndt.month:02d}-{ndt.day:02d} "
+        f"{ndt.hour:02d}:{ndt.minute:02d}:{ndt.second:02d}"
+    )
+
+
+def parse_shared_strings(xml: str) -> list[str]:
+    """sharedStrings.xml -> list of strings (rich-text runs concatenated)."""
+    strings: list[str] = []
+    st = {"in_si": False, "in_t": False, "parts": [], "in_rph": 0}
+
+    def start(local, attrs):
+        if local == "si":
+            st["in_si"] = True
+            st["parts"] = []
+        elif local in ("rPh", "phoneticPr"):
+            st["in_rph"] += 1
+        elif local == "t" and st["in_si"] and not st["in_rph"]:
+            st["in_t"] = True
+
+    def text(data):
+        if st["in_t"]:
+            st["parts"].append(data)
+
+    def end(local):
+        if local == "si":
+            strings.append("".join(st["parts"]))
+            st["in_si"] = False
+        elif local in ("rPh", "phoneticPr"):
+            st["in_rph"] = max(0, st["in_rph"] - 1)
+        elif local == "t":
+            st["in_t"] = False
+
+    parse_xml_events(xml, start, end, text)
+    return strings
+
+
+def parse_date_styles(styles_xml: str) -> set[int]:
+    """Indices into cellXfs whose numFmt is date/time-like."""
+    custom_date_fmts: set[int] = set()
+    xf_fmt_ids: list[int] = []
+    st = {"in_cellxfs": False}
+
+    def _is_date_code(code: str) -> bool:
+        # strip bracketed sections, quoted literals, colors
+        cleaned = re.sub(r"\[[^\]]*\]|\"[^\"]*\"|\\.", "", code)
+        return bool(_DATE_TOKEN.search(cleaned))
+
+    def start(local, attrs):
+        if local == "numFmt":
+            fmt_id = attrs.get("numFmtId")
+            code = attrs.get("formatCode", "")
+            if fmt_id is not None and fmt_id.isdigit() and _is_date_code(code):
+                custom_date_fmts.add(int(fmt_id))
+        elif local == "cellXfs":
+            st["in_cellxfs"] = True
+        elif local == "xf" and st["in_cellxfs"]:
+            fmt_id = attrs.get("numFmtId", "0")
+            xf_fmt_ids.append(int(fmt_id) if fmt_id.isdigit() else 0)
+
+    def end(local):
+        if local == "cellXfs":
+            st["in_cellxfs"] = False
+
+    parse_xml_events(styles_xml, start, end, lambda d: None)
+
+    date_styles: set[int] = set()
+    for i, fmt_id in enumerate(xf_fmt_ids):
+        if fmt_id in _BUILTIN_DATE_FMTS or fmt_id in custom_date_fmts:
+            date_styles.add(i)
+    return date_styles
+
+
+def parse_sheet_cells(
+    xml: str, shared: list[str], date_styles: set[int]
+) -> dict[tuple[int, int], tuple]:
+    """sheetData cells -> {(row, col): value-tuple}.
+
+    Value tuples: ("s", str) | ("f", float) | ("d", serial float) |
+    ("b", bool) | ("e", error str).
+    """
+    cells: dict[tuple[int, int], tuple] = {}
+    st = {
+        "row": 0, "col": -1, "t": None, "s": None,
+        "in_v": False, "in_is_t": False, "v": [], "is_t": [],
+        "ref": None, "next_col": 0,
+    }
+
+    def start(local, attrs):
+        if local == "row":
+            r = attrs.get("r")
+            st["row"] = int(r) - 1 if r and r.isdigit() else st["row"] + 1
+            st["next_col"] = 0
+        elif local == "c":
+            ref = attrs.get("r")
+            if ref:
+                m = _CELL_REF.match(ref)
+                if m:
+                    st["col"] = _col_index(m.group(1))
+                    st["row"] = int(m.group(2)) - 1
+                else:
+                    st["col"] = st["next_col"]
+            else:
+                st["col"] = st["next_col"]
+            st["next_col"] = st["col"] + 1
+            st["t"] = attrs.get("t", "n")
+            sref = attrs.get("s")
+            st["s"] = int(sref) if sref and sref.isdigit() else None
+            st["v"] = []
+            st["is_t"] = []
+        elif local == "v":
+            st["in_v"] = True
+        elif local == "t":
+            st["in_is_t"] = True
+
+    def text(data):
+        if st["in_v"]:
+            st["v"].append(data)
+        elif st["in_is_t"]:
+            st["is_t"].append(data)
+
+    def end(local):
+        if local == "v":
+            st["in_v"] = False
+        elif local == "t":
+            st["in_is_t"] = False
+        elif local == "c":
+            key = (st["row"], st["col"])
+            t = st["t"]
+            raw = "".join(st["v"])
+            if t == "s":
+                if raw.isdigit():
+                    idx = int(raw)
+                    if idx < len(shared):
+                        cells[key] = ("s", shared[idx])
+            elif t == "str":
+                cells[key] = ("s", raw)
+            elif t == "inlineStr":
+                cells[key] = ("s", "".join(st["is_t"]))
+            elif t == "b":
+                if raw:
+                    cells[key] = ("b", raw.strip() in ("1", "true", "TRUE"))
+            elif t == "e":
+                if raw:
+                    cells[key] = ("e", raw.strip())
+            else:  # numeric
+                if raw:
+                    try:
+                        f = float(raw)
+                    except ValueError:
+                        cells[key] = ("s", raw)
+                    else:
+                        if st["s"] is not None and st["s"] in date_styles:
+                            cells[key] = ("d", f)
+                        else:
+                            cells[key] = ("f", f)
+
+    parse_xml_events(xml, start, end, text)
+    return cells
+
+
+def _format_cell(
+    value: tuple | None, location: str, warnings: list[dict]
+) -> str:
+    if value is None:
+        return ""
+    kind, v = value
+    if kind == "s":
+        return v
+    if kind == "f":
+        return format_float(v)
+    if kind == "b":
+        return "TRUE" if v else "FALSE"
+    if kind == "d":
+        return _format_datetime(v)
+    if kind == "e":
+        warnings.append(warning(
+            MALFORMED_SEGMENT, f"cell contains error: {v}", location
+        ))
+        return v
+    return ""
+
+
+def _sheet_targets(zf) -> list[tuple[str, str]]:
+    """workbook.xml sheet order -> [(name, worksheet path)]."""
+    workbook_xml = read_zip_text(zf, "xl/workbook.xml")
+    if workbook_xml is None:
+        raise MalformedDocument("missing xl/workbook.xml")
+    rels_xml = read_zip_text(zf, "xl/_rels/workbook.xml.rels")
+    rels = parse_relationships(rels_xml) if rels_xml is not None else {}
+
+    sheets: list[tuple[str, str]] = []
+
+    def start(local, attrs):
+        if local == "sheet":
+            name = attrs.get("name", "")
+            rid = attr_suffix(attrs, "id")
+            target = None
+            if rid is not None and rid in rels:
+                target = rels[rid][0]
+            if target is None:
+                target = f"worksheets/sheet{len(sheets) + 1}.xml"
+            if target.startswith("/"):
+                path = target[1:]
+            elif target.startswith("xl/"):
+                path = target
+            else:
+                path = f"xl/{target}"
+            sheets.append((name, path))
+
+    parse_xml_events(workbook_xml, start, lambda l: None, lambda d: None)
+    return sheets
+
+
+def convert_xlsx(data: bytes, max_uncompressed_zip_bytes: int = 16 << 30) -> dict:
+    try:
+        zf = open_zip(data)
+    except Exception as e:
+        raise MalformedDocument(f"invalid ZIP: {e}") from e
+    warnings: list[dict] = []
+    sections: list[str] = []
+    plain_sections: list[str] = []
+    with zf:
+        validate_zip_budget(zf, max_uncompressed_zip_bytes)
+        shared_xml = read_zip_text(zf, "xl/sharedStrings.xml")
+        shared = parse_shared_strings(shared_xml) if shared_xml is not None else []
+        styles_xml = read_zip_text(zf, "xl/styles.xml")
+        date_styles = parse_date_styles(styles_xml) if styles_xml is not None else set()
+
+        for name, path in _sheet_targets(zf):
+            sheet_xml = read_zip_text(zf, path)
+            if sheet_xml is None:
+                warnings.append(warning(
+                    SKIPPED_ELEMENT,
+                    f"failed to read sheet '{name}': not found",
+                    name,
+                ))
+                continue
+            cells = parse_sheet_cells(sheet_xml, shared, date_styles)
+            if not cells:
+                continue
+            min_row = min(k[0] for k in cells)
+            max_row = max(k[0] for k in cells)
+            min_col = min(k[1] for k in cells)
+            max_col = max(k[1] for k in cells)
+
+            grid: list[list[str]] = []
+            for r in range(min_row, max_row + 1):
+                row_out = []
+                for c in range(min_col, max_col + 1):
+                    # warning locations are range-relative, like the
+                    # reference's enumerate() over calamine's trimmed range
+                    loc = f"{name}!{col_letter(c - min_col)}{r - min_row + 1}"
+                    row_out.append(_format_cell(cells.get((r, c)), loc, warnings))
+                grid.append(row_out)
+
+            headers, data_rows = grid[0], grid[1:]
+            sections.append(format_heading(2, name) + build_table(headers, data_rows))
+            plain_sections.append(f"{name}\n" + build_table_plain(headers, data_rows))
+
+    return {
+        "markdown": "\n".join(sections),
+        "plain_text": "\n".join(plain_sections),
+        "title": None,
+        "warnings": warnings,
+    }
