@@ -1,0 +1,214 @@
+"""The Spark extraction pipeline.
+
+Lifecycle (SURVEY.md §3.4):
+
+    read transcripts -> anti-join completed lineage buckets (resume)
+      -> salted repartition by hash(conv_id) -> mapInPandas(convert_batch)
+      -> window-ordered output -> idempotent per-bucket overwrite
+      -> lineage rows (bytes in, chars out, fmt histogram, failures)
+
+Scale notes (designed for 10^12 turns / 1000 executors; validated on
+local[32]):
+  * The only JVM<->Python crossing is the Arrow-batched ``mapInPandas``;
+    everything else is Catalyst-planned (scan pruning, AQE coalescing).
+  * Payloads are fat strings, so Arrow batches are kept small
+    (``spark.sql.execution.arrow.maxRecordsPerBatch`` = 512).
+  * Skewed mega-conversations are split by a turn-derived salt BEFORE the
+    shuffle: the kernel is per-row, so rows of one conversation do not need
+    to be co-located for conversion — only the final per-conversation
+    ordering needs a shuffle, and that one is handled by the window sort.
+  * Resume is bucket-granular: output is written partitioned by
+    ``bucket = pmod(xxhash64(conv_id), n_buckets)`` with dynamic partition
+    overwrite, so a re-run overwrites exactly the buckets it recomputes.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from anytomd_spark.batch import OUTPUT_SPARK_SCHEMA, convert_batch
+from anytomd_spark.transcripts import TRANSCRIPTS_SCHEMA
+
+CONVERTED_SCHEMA = f"{TRANSCRIPTS_SCHEMA}, {OUTPUT_SPARK_SCHEMA}"
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "anytomd-spark",
+    shuffle_partitions: int = 32,
+    arrow_batch_rows: int = 512,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(arrow_batch_rows),
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.driver.memory": "8g",
+    }
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def convert_transcripts(
+    df: DataFrame,
+    partitions: int | None = None,
+    salt_buckets: int = 16,
+    repartition: bool = True,
+) -> DataFrame:
+    """transcripts -> converted turns (adds markdown/plain/fmt/... columns).
+
+    The conversion kernel is per-row, so the pre-shuffle key only needs to
+    spread load evenly: ``hash(conv_id)`` co-locates conversations (useful
+    for downstream per-conversation consumers), and ``pmod(turn_idx, salt)``
+    splits mega-conversations so no single task inherits a whole one
+    (payload-byte skew that AQE's row-count heuristics can miss).
+    """
+    out = df
+    if repartition:
+        n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        out = df.repartition(
+            int(n),
+            F.xxhash64("conv_id"),
+            F.pmod(F.col("turn_idx"), F.lit(salt_buckets)),
+        )
+    return out.mapInPandas(_convert_iter, schema=CONVERTED_SCHEMA)
+
+
+def _convert_iter(iterator):
+    for pdf in iterator:
+        yield convert_batch(pdf)
+
+
+def ordered_output(converted: DataFrame) -> DataFrame:
+    """Stable (conv_id, turn_idx) ordering via window row_number + sort
+    (north rule: per-turn equality under stable turn ordering)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        converted.withColumn("turn_seq", F.row_number().over(w))
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# lineage sidecar + resumable run
+# --------------------------------------------------------------------------
+
+LINEAGE_SCHEMA = (
+    "bucket int, n_rows long, bytes_in long, chars_out long, "
+    "n_failures long, n_warnings long, fmt_hist map<string,long>, "
+    "run_id string, status string, ts double"
+)
+
+
+def bucketed(df: DataFrame, n_buckets: int = 64) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def compute_lineage(converted_with_bucket: DataFrame, run_id: str) -> DataFrame:
+    """Per-bucket extraction metrics incl. a format histogram map
+    (SURVEY.md §2.5). Two partial-aggregable passes; no collect."""
+    base = converted_with_bucket.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("chars_out").alias("chars_out"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_failures"),
+        F.sum("n_warnings").cast("long").alias("n_warnings"),
+    )
+    hist = (
+        converted_with_bucket.groupBy("bucket", "fmt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("bucket")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct(F.coalesce("fmt", F.lit("unknown")), "n"))
+        ).alias("fmt_hist"))
+    )
+    return (
+        base.join(hist, "bucket", "left")
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("status", F.lit("done"))
+        .withColumn("ts", F.lit(time.time()))
+    )
+
+
+def compute_fmt_histogram(converted: DataFrame) -> DataFrame:
+    return converted.groupBy("fmt").agg(F.count(F.lit(1)).alias("n"))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    output_path: str,
+    lineage_path: str,
+    run_id: str | None = None,
+    n_buckets: int = 64,
+    resume: bool = True,
+    partitions: int | None = None,
+) -> dict:
+    """Resumable conversion run with a lineage sidecar.
+
+    Completed buckets (recorded in the lineage table for this output) are
+    anti-joined away on resume; each bucket's output directory is
+    idempotently overwritten (dynamic partition overwrite), so a crashed
+    run re-executes only its unfinished buckets.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    df = bucketed(transcripts, n_buckets)
+
+    if resume:
+        try:
+            lineage = spark.read.parquet(lineage_path)
+            done = lineage.filter(F.col("status") == "done").select("bucket").distinct()
+            df = df.join(F.broadcast(done), "bucket", "left_anti")
+        except Exception:
+            pass  # first run: no lineage yet
+
+    # buckets this run will process — cheap key-only scan, no conversion
+    run_buckets = [r.bucket for r in df.select("bucket").distinct().collect()]
+    if not run_buckets:
+        return {"run_id": run_id, "rows": 0, "failures": 0, "buckets": 0}
+
+    converted = convert_transcripts(df.drop("bucket"), partitions=partitions)
+    # bucket is a pure function of conv_id — recompute it post-kernel
+    # (mapInPandas declares a fixed output schema without it)
+    ordered = bucketed(ordered_output(converted), n_buckets)
+
+    (
+        ordered.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(output_path)
+    )
+
+    # metrics from the just-written parquet, restricted to this run's
+    # buckets (partition pruning makes this a cheap second scan)
+    out_df = spark.read.parquet(output_path).filter(
+        F.col("bucket").isin(run_buckets)
+    )
+    lineage_rows = compute_lineage(out_df, run_id)
+    lineage_rows.write.mode("append").parquet(lineage_path)
+
+    stats = out_df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("failures"),
+    ).collect()[0]
+    return {
+        "run_id": run_id,
+        "rows": stats["rows"],
+        "failures": stats["failures"] or 0,
+        "buckets": len(run_buckets),
+    }

@@ -1,0 +1,124 @@
+"""End-to-end Spark tests: fixture-golden equality through mapInPandas,
+stable window ordering, lineage + resume semantics, synthetic generation
+determinism. Runs on local[2] to keep CI fast."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import FIXTURES, normalize
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from anytomd_spark.pipeline import (  # noqa: E402
+    build_session,
+    bucketed,
+    compute_fmt_histogram,
+    compute_lineage,
+    convert_transcripts,
+    ordered_output,
+    run_pipeline,
+)
+from anytomd_spark.transcripts import (  # noqa: E402
+    fixture_transcripts,
+    generate_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session(master="local[2]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+GOLDEN_NAMES = [
+    "sample.html", "sample.csv", "sample.json", "sample.xml",
+    "sample.txt", "sample.py", "sample.ipynb", "sample.docx",
+    "sample.pptx", "sample.xlsx", "sample.xls", "sample_unicode.xls",
+]
+
+
+def test_fixture_conversation_golden_equality(spark):
+    """Port of the reference golden e2e suite through the Spark pipeline:
+    each turn's markdown must match the golden under stable ordering."""
+    df = spark.createDataFrame(fixture_transcripts())
+    converted = ordered_output(convert_transcripts(df, partitions=4))
+    rows = converted.orderBy("conv_id", "turn_idx").collect()
+    assert len(rows) == len(GOLDEN_NAMES)
+    for row, name in zip(rows, GOLDEN_NAMES):
+        with open(os.path.join(FIXTURES, "expected", f"{name}.md")) as f:
+            expected = f.read()
+        assert row.error is None, f"{name}: {row.error}"
+        assert normalize(row.markdown) == normalize(expected), name
+        assert row.turn_seq == row.turn_idx + 1
+
+
+def test_fmt_histogram(spark):
+    df = spark.createDataFrame(fixture_transcripts())
+    hist = {
+        r.fmt: r.n
+        for r in compute_fmt_histogram(convert_transcripts(df)).collect()
+    }
+    assert hist["html"] == 1
+    assert hist["docx"] == 1
+    assert hist["xls"] == 2
+    assert hist["code"] == 1
+    assert hist["txt"] == 1
+
+
+def test_generated_transcripts_deterministic(spark):
+    a = generate_transcripts(spark, n_convs=40, seed=7, mega_every=0, partitions=2)
+    b = generate_transcripts(spark, n_convs=40, seed=7, mega_every=0, partitions=5)
+    rows_a = sorted(a.collect(), key=lambda r: (r.conv_id, r.turn_idx))
+    rows_b = sorted(b.collect(), key=lambda r: (r.conv_id, r.turn_idx))
+    assert rows_a == rows_b
+    assert len(rows_a) > 40
+
+
+def test_generated_transcripts_convert_clean(spark):
+    df = generate_transcripts(spark, n_convs=60, seed=11, mega_every=0, partitions=2)
+    converted = convert_transcripts(df, partitions=4)
+    stats = converted.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("failures"),
+        F.countDistinct("fmt").alias("n_fmts"),
+    ).collect()[0]
+    assert stats.failures == 0
+    assert stats.n_fmts >= 6
+
+
+def test_lineage_and_resume(spark, tmp_path):
+    out = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+    df = generate_transcripts(spark, n_convs=30, seed=3, mega_every=0, partitions=2)
+
+    r1 = run_pipeline(spark, df, out, lineage, run_id="run1", n_buckets=8)
+    assert r1["rows"] == df.count()
+    assert r1["failures"] == 0
+
+    lin = spark.read.parquet(lineage)
+    assert lin.filter(F.col("status") == "done").count() > 0
+
+    # resume: everything is complete -> zero new rows converted
+    r2 = run_pipeline(spark, df, out, lineage, run_id="run2", n_buckets=8)
+    lin2 = spark.read.parquet(lineage).filter(F.col("run_id") == "run2")
+    assert lin2.count() == 0 or lin2.agg(F.sum("n_rows")).collect()[0][0] in (0, None)
+
+    # output readable and ordered
+    out_df = spark.read.parquet(out)
+    assert out_df.count() == r1["rows"]
+
+
+def test_compute_lineage_histogram(spark):
+    df = spark.createDataFrame(fixture_transcripts())
+    converted = bucketed(convert_transcripts(df), n_buckets=4)
+    lin = compute_lineage(converted, "t").collect()
+    total = sum(r.n_rows for r in lin)
+    assert total == len(GOLDEN_NAMES)
+    hist_total = sum(sum(r.fmt_hist.values()) for r in lin if r.fmt_hist)
+    assert hist_total == len(GOLDEN_NAMES)
