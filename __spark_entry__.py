@@ -1,38 +1,419 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship conversion pipeline on sf0.001.
+``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2 + the training-data operators); ``oracle_sql()`` gives the
+DuckDB twin for every SQL-expressible one. Conversion queries are
+value-level oracles: the derived payloads (anytomd_spark.derive) are
+plain column concatenations, so the *converted Markdown itself* is
+reproducible in ANSI SQL for six formats.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from anytomd_spark.analysis import dedup as DD
+from anytomd_spark.analysis import similarity as SIM
+from anytomd_spark.analysis import text_quality as TQ
+from anytomd_spark.derive import (
+    SQL_FMT,
+    SQL_MARKDOWN,
+    SQL_PAYLOAD,
+    documents_transcripts,
+)
+from anytomd_spark.pipeline import convert_transcripts, ordered_output
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _converted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return convert_transcripts(documents_transcripts(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over sf0.001-derived transcripts."""
+    out = ordered_output(_converted(spark, SF0001))
+    return out.select(
+        "conv_id", "turn_idx", "turn_seq", "role", "fmt", "markdown",
+        "plain_text", "title", "error", "n_warnings", "bytes_in", "chars_out",
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_convert_fmt_histogram(spark, sf):
+    return (
+        _converted(spark, sf)
+        .groupBy("fmt").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _markdown_for(fmt: str):
+    def q(spark, sf):
+        return (
+            _converted(spark, sf)
+            .filter(F.col("fmt") == fmt)
+            .select("doc_id", "markdown")
+        )
+    return q
+
+
+def _q_convert_metrics(spark, sf):
+    return (
+        _converted(spark, sf)
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bytes_in").alias("total_bytes_in"),
+            F.sum("chars_out").alias("total_chars_out"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_failures"),
+        )
+    )
+
+
+def _q_convert_turn_ordering(spark, sf):
+    return ordered_output(_converted(spark, sf)).select(
+        "conv_id", "turn_idx", "turn_seq"
+    )
+
+
+def _q_dedup_exact_stats(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return DD.exact_dedup_stats(docs)
+
+
+def _q_dedup_exact_survivors(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return DD.exact_dedup(docs).select("doc_id")
+
+
+def _q_dedup_ngram_jaccard(spark, sf):
+    """Exact 3-gram Jaccard for fixed adjacent-id pairs (value oracle via
+    DuckDB list_intersect/list_distinct)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = docs.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+    ).filter(F.col("a") % 10 == 0)
+    out = DD.ngram_jaccard_pairs(docs, pairs)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_minhash_pairs(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cand = DD.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    verified = DD.ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    return verified.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_simhash(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return DD.simhash_near_dups(docs, max_hamming=3)
+
+
+def _q_sim_cosine_topk(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.brute_force_topk(emb, queries, k=3)
+    return out.select(
+        "query_id", "cand_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+def _q_sim_ann_lsh(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.lsh_ann_topk(emb, queries, k=3, n_planes=6, n_tables=4)
+    return out.select(
+        "query_id", "cand_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+def _q_sim_embedding_near_dups(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = SIM.embedding_near_dups(emb, threshold=0.5, n_planes=8)
+    return out.select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _q_text_token_stats(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        docs.select("lang", TQ.token_count("text").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def _q_text_quality(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    scored = TQ.quality_scores(docs)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("digit_ratio"), 6).alias("avg_digit_ratio"),
+        F.round(F.avg("mean_token_len"), 6).alias("avg_token_len"),
+        F.sum("stopword_hits").alias("stopword_hits"),
+    )
+
+
+def _q_text_langid(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        TQ.lang_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_text_fingerprints(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return TQ.fingerprints(docs)
+
+
+def _q_rel_agg_lineitem(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_rel_join_topcustomers(spark, sf):
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def _q_rel_window_events(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("seq", F.row_number().over(w))
+        .filter(F.col("seq") <= 3)
+        .select("user_id", "event_id", "seq")
+    )
+
+
+def _q_events_sessionize(spark, sf):
+    """Session counts per user: a session break is a >30 min gap."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_media_features(spark, sf):
+    from anytomd_spark.analysis.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=48)
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "sha1"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # conversion pipeline (SURVEY §2.1-2.4)
+        "convert_fmt_histogram": _q_convert_fmt_histogram,
+        "convert_txt_passthrough": _markdown_for("txt"),
+        "convert_code_fence": _markdown_for("code"),
+        "convert_csv_table": _markdown_for("csv"),
+        "convert_html_extract": _markdown_for("html"),
+        "convert_json_pretty": _markdown_for("json"),
+        "convert_xml_pretty": _markdown_for("xml"),
+        "convert_metrics": _q_convert_metrics,
+        "convert_turn_ordering": _q_convert_turn_ordering,
+        # dedup family
+        "dedup_exact_stats": _q_dedup_exact_stats,
+        "dedup_exact_survivors": _q_dedup_exact_survivors,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        # similarity family
+        "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_ann_lsh": _q_sim_ann_lsh,
+        "sim_embedding_near_dups": _q_sim_embedding_near_dups,
+        # text analysis family
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprints": _q_text_fingerprints,
+        # relational operator competence
+        "rel_agg_lineitem": _q_rel_agg_lineitem,
+        "rel_join_topcustomers": _q_rel_join_topcustomers,
+        "rel_window_events": _q_rel_window_events,
+        "events_sessionize": _q_events_sessionize,
+        # multimodal plumbing
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+def _md_oracle(mod: int) -> str:
+    return f"""
+        SELECT doc_id, {SQL_MARKDOWN} AS markdown
+        FROM documents WHERE doc_id % 6 = {mod}
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "convert_fmt_histogram": f"""
+            SELECT {SQL_FMT} AS fmt, count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "convert_txt_passthrough": _md_oracle(0),
+        "convert_code_fence": _md_oracle(1),
+        "convert_csv_table": _md_oracle(2),
+        "convert_html_extract": _md_oracle(3),
+        "convert_json_pretty": _md_oracle(4),
+        "convert_xml_pretty": _md_oracle(5),
+        "convert_metrics": f"""
+            SELECT {SQL_FMT} AS fmt,
+                   count(*) AS n,
+                   sum(strlen({SQL_PAYLOAD})) AS total_bytes_in,
+                   sum(length({SQL_MARKDOWN})) AS total_chars_out,
+                   0 AS n_failures
+            FROM documents GROUP BY 1
+        """,
+        "convert_turn_ordering": """
+            SELECT 'doc-conv-' || lpad((doc_id // 5)::varchar, 6, '0') AS conv_id,
+                   (doc_id % 5)::int AS turn_idx,
+                   (doc_id % 5 + 1)::int AS turn_seq
+            FROM documents
+        """,
+        "dedup_exact_stats": """
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_unique,
+                   count(*) - count(DISTINCT md5(text)) AS n_dups
+            FROM documents
+        """,
+        "dedup_exact_survivors": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3 THEN list_distinct([
+                           array_to_string(t[i:i+2], ' ')
+                           FOR i IN range(1, len(t) - 1)
+                       ]) ELSE [array_to_string(t, ' ')] END AS sh
+                FROM toks
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(len(list_intersect(a.sh, b.sh))::double
+                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 10 = 0
+        """,
+        "sim_cosine_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       round(list_cosine_similarity(
+                           q.embedding::double[], c.embedding::double[]), 6)
+                           AS cos_sim
+                FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < 5
+            )
+            SELECT query_id, cand_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, cand_id) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+        "text_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(array_length(regexp_split_to_array(trim(text), '\\s+')))
+                       AS total_tokens,
+                   round(avg(array_length(
+                       regexp_split_to_array(trim(text), '\\s+'))), 6)
+                       AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "rel_agg_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_join_topcustomers": """
+            SELECT c_custkey, c_name, c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_spend
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name, c_mktsegment
+            ORDER BY total_spend DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "rel_window_events": """
+            SELECT user_id, event_id, seq FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS seq
+                FROM events
+            ) WHERE seq <= 3
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(new_sess) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        # text_quality / text_langid / fingerprints / minhash / simhash /
+        # ann-lsh / near-dups / media: engine-specific hash or UDF-backed
+        # -> rows-only checks (documented weaker gate)
+    }

@@ -1,0 +1,292 @@
+"""Deduplication operators for the documents table.
+
+All four families run JVM-side with built-in functions (no Python UDFs):
+
+* exact:      md5 hash-groupBy keep-first
+* MinHash+LSH: word shingles -> H minhashes -> B bands -> band-hash
+               bucket self-join -> candidate pairs (optionally verified
+               with exact n-gram Jaccard)
+* SimHash:    64-bit token-hash bit-majority signature, map-side only
+* n-gram Jaccard: exact set overlap via array_intersect/array_union
+
+Scale notes: the LSH bucket join shuffles on (band, band_hash) — band
+hashes are near-uniform, so the join is skew-free by construction; a
+``spark.sql.shuffle.partitions`` sized to the cluster handles 100 TB. The
+signature computation itself is embarrassingly parallel map work inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplicate statistics."""
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col)))).alias("n_dups"),
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest id per exact-content group (deterministic survivor)."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    survivors = (
+        docs.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return docs.join(survivors.select(id_col), id_col, "left_semi")
+
+
+def tokenize(text_col: str = "text"):
+    """Whitespace tokens of the lowercased text (shared by all sketches)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def word_shingles(tokens_col, n: int = 3):
+    """n-gram word shingles via sequence+transform (JVM-side, no UDF)."""
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens_col) - n),
+            lambda i: F.array_join(F.slice(tokens_col, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(tokens_col, " ")))
+
+
+def _seeded_hash(seed: int):
+    # NB: the lambda must take exactly one parameter — PySpark's transform()
+    # binds a second parameter to the element index, so default-arg seed
+    # binding (lambda s, i=i: ...) would silently salt by position instead.
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
+def minhash_signature(shingles_col, num_hashes: int = 32):
+    """H independent minhashes: min over xxhash64(shingle, seed_i)."""
+    return F.array(*[
+        F.array_min(F.transform(shingles_col, _seeded_hash(i)))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (a < b) from banded MinHash-LSH.
+
+    Buckets larger than ``max_bucket`` are dropped: a band value shared by
+    that many documents is degenerate (boilerplate), and emitting its
+    O(k^2) pairs would dominate the job — the standard web-dedup guard.
+    Dropped buckets are observable via the ``lsh_bucket_stats`` helper.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        docs.select(
+            F.col(id_col),
+            minhash_signature(
+                word_shingles(tokenize(text_col), shingle_n), num_hashes
+            ).alias("sig"),
+        )
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+
+    return _bucket_pairs(banded, ["band", "band_hash"], id_col, max_bucket)
+
+
+def _bucket_pairs(
+    keyed: DataFrame, key_cols: list[str], id_col: str, max_bucket: int
+) -> DataFrame:
+    """Distinct within-bucket id pairs (a < b) WITHOUT a self-join:
+    one groupBy collects each bucket's ids, pair combinations unfold
+    JVM-side via nested transform/flatten. Buckets of size 1 emit nothing;
+    buckets larger than ``max_bucket`` are dropped (degenerate keys)."""
+    ids = F.array_sort(F.collect_list(id_col))
+    grouped = (
+        keyed.groupBy(*key_cols)
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_arrays).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Bucket-size distribution per band — the observability hook for the
+    ``max_bucket`` guard (how much was dropped, not silently)."""
+    sig = docs.select(
+        F.col(id_col),
+        minhash_signature(
+            word_shingles(tokenize(text_col), shingle_n), num_hashes
+        ).alias("sig"),
+    )
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ])).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    return (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket_size"),
+            F.round(F.avg("bucket_size"), 3).alias("avg_bucket_size"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage)."""
+    sets = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(tokenize(text_col), shingle_n)).alias("sh"),
+    )
+    a = sets.alias("sa")
+    b = sets.alias("sb")
+    joined = (
+        pairs.join(a, pairs["a"] == F.col(f"sa.{id_col}"))
+        .join(b, pairs["b"] == F.col(f"sb.{id_col}"))
+        .select(
+            "a", "b",
+            (
+                F.size(F.array_intersect("sa.sh", "sb.sh"))
+                / F.size(F.array_union("sa.sh", "sb.sh"))
+            ).alias("jaccard"),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, fully map-side (no shuffle).
+
+    Bit b of the signature is the sign of sum over tokens of
+    (bit b of xxhash64(token)) * 2 - 1.
+    """
+    hashes = F.transform(tokenize(text_col), lambda t: F.xxhash64(t))
+
+    def _bit_sum(b: int):
+        # exactly-two-parameter lambda: aggregate() would bind a third
+        # parameter as another lambda variable (see _seeded_hash note)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    bit_sums = [_bit_sum(b) for b in range(64)]
+    sig = None
+    for b, s in enumerate(bit_sums):
+        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(
+            s > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with block-permutation candidates:
+    a pair within Hamming distance <= blocks-1 shares at least one of
+    ``blocks`` 16-bit signature blocks (pigeonhole). Candidates come from
+    capped-bucket pair unfolding (no self-join), then exact Hamming
+    re-check via a signature lookup join."""
+    sigs = simhash64(docs, id_col, text_col)
+    width = 64 // blocks
+    blocked = sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned("simhash", i * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("blk_val"),
+            )
+            for i in range(blocks)
+        ])).alias("b"),
+    ).select(id_col, "b.blk", "b.blk_val")
+    cand = _bucket_pairs(blocked, ["blk", "blk_val"], id_col, max_bucket)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"))
+    joined = cand.join(sa, "a").join(sb, "b")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return joined.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k: broadcast the (small) query set, zip_with dot
+  products JVM-side, window top-k — the exact baseline.
+* LSH-bucketed ANN: sign-random-projection signatures bucket the corpus;
+  candidates = same-bucket rows; exact cosine re-ranks. The hyperplanes
+  are a deterministic function of the seed, materialized as literal
+  arrays (no Python at execution time).
+
+Scale notes: brute force is O(corpus × queries) — fine when the query set
+broadcasts; the LSH path turns that into a bucket-local join whose fan-in
+is controlled by ``n_planes`` (expected bucket size = corpus / 2^planes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. Query side is broadcast."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def srp_signature(vec_col, planes: list[list[float]]):
+    """Sign-random-projection bit signature as a long (JVM-side)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec_col, lit_plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = sig + bit.cast("long") * F.lit(1 << i).cast("long")
+    return sig
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: union of same-bucket candidates over ``n_tables``
+    independent SRP tables, re-ranked by exact cosine."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    srp_signature(F.col(vec_col), tables[t]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])).alias("tb"),
+        )
+        return out.select(
+            f"{prefix}_id", f"{prefix}_vec", "tb.table", "tb.bucket"
+        )
+
+    cb = with_buckets(corpus, "cand")
+    qb = with_buckets(queries, "query")
+    cands = (
+        cb.join(
+            F.broadcast(qb),
+            (cb["table"] == qb["table"]) & (cb["bucket"] == qb["bucket"]),
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "query_vec", "cand_vec")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id", "cand_id",
+        cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via one SRP bucketing pass."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sigs = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        srp_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = sigs.alias("l"), sigs.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return pairs

@@ -1,0 +1,143 @@
+"""Text analysis operators: token counts, quality scores, language ID,
+document fingerprints.
+
+Everything except the winnowing fingerprint is pure built-in column
+expressions (whole-stage codegen); the fingerprint is an Arrow-batched
+pandas UDF because rolling hashes need a per-character loop.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with "
+    "for on as at by from not"
+).split()
+
+
+def token_count(text_col="text"):
+    """Whitespace token count (0 for empty/blank text)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(
+        F.length(F.trim(c)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(c), r"\s+")))
+
+
+def bpe_ish_token_count(text_col="text"):
+    """Sub-word-ish token count: split on word/number/punct boundaries with
+    a BPE-style regex (letters runs, digit runs, single punct)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    pattern = r"[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-z0-9À-ɏ]"
+    return F.size(F.expr(
+        f"regexp_extract_all({text_col if isinstance(text_col, str) else '_'},"
+        f" '{pattern}', 0)"
+    )) if isinstance(text_col, str) else F.size(
+        F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
+    )
+
+
+def _ratio(sub_len, total_len):
+    return F.when(total_len > 0, sub_len.cast("double") / total_len).otherwise(F.lit(0.0))
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/digit/stopword quality features per document."""
+    c = F.col(text_col)
+    total = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    spaces = F.length(F.regexp_replace(c, r"[^ \t\n]", ""))
+    tokens = F.split(F.lower(F.trim(c)), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(tokens), stop_arr))
+    n_tok = token_count(text_col)
+    return docs.withColumns({
+        "n_chars_m": total.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "punct_ratio": _ratio(punct, total),
+        "digit_ratio": _ratio(digits, total),
+        "space_ratio": _ratio(spaces, total),
+        "stopword_hits": n_stop.cast("long"),
+        "mean_token_len": F.when(
+            n_tok > 0, (total - spaces).cast("double") / n_tok
+        ).otherwise(F.lit(0.0)),
+    })
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text",
+                   min_tokens: int = 5, max_punct_ratio: float = 0.3) -> DataFrame:
+    scored = quality_scores(docs, text_col)
+    return scored.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Script-ratio language heuristic: hangul -> ko, han -> zh, kana -> ja,
+    cyrillic -> ru, else en. (n-gram-free but vectorized and deterministic;
+    a unicode-range classifier in the spirit of the reference's per-format
+    sniffing — the documents table carries ground truth in ``lang``.)"""
+    c = F.col(text_col)
+    total = F.greatest(F.length(c), F.lit(1))
+    hangul = F.length(F.regexp_replace(c, r"[^가-힯ᄀ-ᇿ]", ""))
+    han = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    kana = F.length(F.regexp_replace(c, r"[^぀-ヿ]", ""))
+    cyr = F.length(F.regexp_replace(c, r"[^Ѐ-ӿ]", ""))
+    pred = (
+        F.when(hangul / total > 0.05, F.lit("ko"))
+        .when(kana / total > 0.05, F.lit("ja"))
+        .when(han / total > 0.05, F.lit("zh"))
+        .when(cyr / total > 0.05, F.lit("ru"))
+        .otherwise(F.lit("en"))
+    )
+    return docs.withColumn("lang_pred", pred)
+
+
+@pandas_udf(LongType())
+def winnow_fingerprint(texts: pd.Series) -> pd.Series:
+    """Winnowing document fingerprint (Arrow-batched pandas UDF).
+
+    Rolling polynomial hash over 8-grams, then XOR of per-window minima
+    (window=4) — a compact locality-sensitive document signature. Pure
+    Python per batch; no per-row Spark UDF overhead.
+    """
+    K, W, MOD, BASE = 8, 4, (1 << 61) - 1, 257
+
+    def fp(text) -> int:
+        if text is None:
+            return 0
+        s = text.lower()
+        n = len(s)
+        if n < K:
+            h = 0
+            for ch in s:
+                h = (h * BASE + ord(ch)) % MOD
+            return h
+        hashes = []
+        h = 0
+        power = pow(BASE, K - 1, MOD)
+        for i, ch in enumerate(s):
+            h = (h * BASE + ord(ch)) % MOD
+            if i >= K - 1:
+                hashes.append(h)
+                h = (h - ord(s[i - K + 1]) * power) % MOD
+        out = 0
+        for i in range(0, max(1, len(hashes) - W + 1), W):
+            out ^= min(hashes[i: i + W])
+        return out - (1 << 63) if out >= (1 << 63) else out
+
+    return texts.map(fp)
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        winnow_fingerprint(F.col(text_col)).alias("winnow_fp"),
+    )

@@ -40,7 +40,7 @@ def build_session(
     master: str | None = None,
     app_name: str = "anytomd-spark",
     shuffle_partitions: int = 32,
-    arrow_batch_rows: int = 512,
+    arrow_batch_rows: int = 4096,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     builder = SparkSession.builder.appName(app_name)
@@ -55,6 +55,9 @@ def build_session(
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(arrow_batch_rows),
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         "spark.sql.parquet.compression.codec": "zstd",
+        # payloads are fat strings: smaller splits -> >=2 tasks/core so
+        # heterogeneous per-row conversion cost doesn't leave stragglers
+        "spark.sql.files.maxPartitionBytes": "32m",
         "spark.driver.memory": "8g",
     }
     conf.update(extra_conf or {})
@@ -67,15 +70,22 @@ def convert_transcripts(
     df: DataFrame,
     partitions: int | None = None,
     salt_buckets: int = 16,
-    repartition: bool = True,
+    repartition: bool = False,
 ) -> DataFrame:
     """transcripts -> converted turns (adds markdown/plain/fmt/... columns).
 
-    The conversion kernel is per-row, so the pre-shuffle key only needs to
-    spread load evenly: ``hash(conv_id)`` co-locates conversations (useful
-    for downstream per-conversation consumers), and ``pmod(turn_idx, salt)``
-    splits mega-conversations so no single task inherits a whole one
-    (payload-byte skew that AQE's row-count heuristics can miss).
+    The conversion kernel is per-row — embarrassingly parallel — so by
+    default NO shuffle precedes it: at 100 TB a full payload shuffle in
+    front of a map stage is the single biggest avoidable cost, and
+    file-split inputs are already balanced by ``maxPartitionBytes``.
+
+    Set ``repartition=True`` when the source layout is conv-clustered
+    (e.g. an Iceberg table partitioned by conversation): then the salted
+    key ``(hash(conv_id), pmod(turn_idx, salt))`` splits mega-conversations
+    so no task inherits a whole one — payload-byte skew that AQE's
+    row-count heuristics can miss. The hash(conv_id) partitioning the
+    north rule requires for output ordering happens in ``ordered_output``'s
+    window shuffle regardless.
     """
     out = df
     if repartition:
@@ -85,7 +95,13 @@ def convert_transcripts(
             F.xxhash64("conv_id"),
             F.pmod(F.col("turn_idx"), F.lit(salt_buckets)),
         )
-    return out.mapInPandas(_convert_iter, schema=CONVERTED_SCHEMA)
+    # passthrough columns survive the kernel: output schema = input + outputs
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return out.mapInPandas(
+        _convert_iter, schema=f"{schema}, {OUTPUT_SPARK_SCHEMA}"
+    )
 
 
 def _convert_iter(iterator):

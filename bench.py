@@ -1,0 +1,118 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline conversion pipeline over a cached deterministic
+transcripts table plus every ``queries()`` entry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"convert_pipeline": sec, ...}, "sf": 0.1,
+     "turns": N, "turns_per_sec": X}
+
+Set ``SPARK_GRAFT_SCALING=1`` to also run the N-vs-4N parallelism pair
+(see scripts/run_scaling.py for the full BENCH/BASELINE.md evidence run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from anytomd_spark.pipeline import build_session, convert_transcripts  # noqa: E402
+from anytomd_spark.transcripts import generate_transcripts  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# ~3x turns per conv incl. skewed megas; sized so the convert leg is long
+# enough to measure but keeps the whole bench under a few minutes
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "400000"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_transcripts(spark, n_convs: int) -> str:
+    """Generate (once) and cache the deterministic bench transcripts."""
+    path = os.path.join(CACHE_DIR, f"transcripts_{n_convs}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        df = generate_transcripts(
+            spark, n_convs=n_convs, seed=42,
+            mega_every=20000, mega_size=2000,
+            partitions=max(CPUS * 2, 8),
+        )
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_convert(spark, transcripts_path: str, salted: bool = False) -> tuple[float, int]:
+    df = spark.read.parquet(transcripts_path)
+    t0 = time.time()
+    converted = convert_transcripts(
+        df, partitions=CPUS * 2, repartition=salted
+    )
+    stats = converted.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("fails"),
+        F.sum("chars_out").alias("chars"),
+    ).collect()[0]
+    dt = time.time() - t0
+    assert stats.fails == 0, f"{stats.fails} conversion failures"
+    return dt, stats.n
+
+
+def main() -> None:
+    spark = build_session(
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS * 2,
+        app_name="anytomd-bench",
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    timings: dict[str, float] = {}
+
+    transcripts_path = ensure_transcripts(spark, N_CONVS)
+
+    # warm every Python worker (imports + Arrow setup on all cores)
+    spark.range(0, CPUS, 1, CPUS).mapInPandas(lambda it: it, "id long").count()
+
+    convert_sec, n_turns = bench_convert(spark, transcripts_path)
+    timings["convert_pipeline"] = round(convert_sec, 3)
+    salted_sec, _ = bench_convert(spark, transcripts_path, salted=True)
+    timings["convert_pipeline_salted"] = round(salted_sec, 3)
+
+    for name, q in entrymod.queries().items():
+        t0 = time.time()
+        df = q(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "suite_seconds (convert pipeline + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / convert_sec, 1),
+        "cpus": CPUS,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

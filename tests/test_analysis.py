@@ -1,0 +1,163 @@
+"""Unit tests for the training-data operators: dedup correctness on
+constructed duplicates, similarity recall vs brute force, text quality
+features, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from anytomd_spark.analysis import dedup as DD  # noqa: E402
+from anytomd_spark.analysis import similarity as SIM  # noqa: E402
+from anytomd_spark.analysis import text_quality as TQ  # noqa: E402
+from anytomd_spark.analysis.multimodal import (  # noqa: E402
+    extract_features,
+    synthesize_media,
+)
+from anytomd_spark.pipeline import build_session  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session(master="local[2]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " with a tiny suffix change"),  # near dup
+        (3, "completely different content about spark shuffle partitions"),
+        (4, "completely different content about spark shuffle partitions"),
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    stats = DD.exact_dedup_stats(docs).collect()[0]
+    assert stats.n_docs == 6
+    assert stats.n_unique == 4
+    survivors = sorted(r.doc_id for r in DD.exact_dedup(docs).collect())
+    assert survivors == [0, 2, 3, 5]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r.a, r.b)
+        for r in DD.minhash_lsh_candidates(docs, num_hashes=16, bands=8).collect()
+    }
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (3, 4) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup should band-collide
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 5)], "a long, b long")
+    out = {(r.a, r.b): r.jaccard for r in DD.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 5)] == 0.0
+
+
+def test_simhash_near_dups(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in DD.simhash64(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    assert sigs[0] != sigs[5]
+    dups = {(r.a, r.b) for r in DD.simhash_near_dups(docs, max_hamming=3).collect()}
+    assert (0, 1) in dups
+    assert (3, 4) in dups
+
+
+def test_brute_force_topk_self_similarity(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((20, 8)).astype(float)
+    vecs[7] = vecs[3] * 2.0  # same direction -> cosine 1 with vec 3
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") == 3), k=1)
+    top = out.collect()[0]
+    assert top.cand_id == 7
+    assert abs(top.cos_sim - 1.0) < 1e-9
+
+
+def test_lsh_ann_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((60, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        r.query_id: (r.cand_id, r.cos_sim)
+        for r in SIM.brute_force_topk(emb, q, k=1).collect()
+    }
+    approx = {
+        r.query_id: (r.cand_id, r.cos_sim)
+        for r in SIM.lsh_ann_topk(
+            emb, q, k=1, n_planes=4, n_tables=8, dim=16
+        ).collect()
+    }
+    # ANN is probabilistic: require every returned neighbor to be within
+    # 80% of the exact best similarity, and at least one exact top-1 hit
+    assert set(approx) == set(exact)
+    hits = sum(approx[qid][0] == exact[qid][0] for qid in exact)
+    assert hits >= 1
+    for qid in exact:
+        assert approx[qid][1] >= 0.8 * exact[qid][1]
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, world! 123"), (1, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in TQ.quality_scores(df).collect()}
+    assert rows[0].n_tokens == 3
+    assert rows[0].digit_ratio == pytest.approx(3 / 17)
+    assert rows[1].n_tokens == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "this is plain english text"),
+            (1, "한국어 문장 입니다 테스트"),
+            (2, "これは日本語のテキストです"),
+            (3, "这是一段中文文本内容测试"),
+        ],
+        "doc_id long, text string",
+    )
+    preds = {r.doc_id: r.lang_pred for r in TQ.lang_id(df).collect()}
+    assert preds == {0: "en", 1: "ko", 2: "ja", 3: "zh"}
+
+
+def test_fingerprints_deterministic(spark):
+    df = spark.createDataFrame(
+        [(0, "abcdefgh" * 10), (1, "abcdefgh" * 10), (2, "zyxw" * 30)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in TQ.fingerprints(df).collect()}
+    assert rows[0].winnow_fp == rows[1].winnow_fp
+    assert rows[0].winnow_fp != rows[2].winnow_fp
+    assert rows[0].content_md5 == rows[1].content_md5
+
+
+def test_multimodal_features(spark):
+    media = synthesize_media(spark, n=12)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 12
+    by_id = {r.media_id: r for r in feats}
+    assert all(len(r.features) == 8 for r in feats)
+    assert by_id[0].n_bytes > 0
+    # determinism: same payload -> same features
+    feats2 = {r.media_id: r.features for r in extract_features(media, dim=8).collect()}
+    assert feats2[0] == list(by_id[0].features)
