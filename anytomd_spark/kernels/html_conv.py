@@ -100,19 +100,19 @@ class _StrBuf:
         return joined
 
 
+import re as _re
+
+# Rust u8::is_ascii_whitespace = space, \t, \n, \r, \x0c (NO vertical tab)
+_WS_RUN = _re.compile(r"[ \t\n\r\x0c]+")
+
+
 def collapse_whitespace(s: str) -> str:
-    """Collapse runs of ASCII whitespace into single spaces (html.rs:648-663)."""
-    result: list[str] = []
-    prev_ws = False
-    for c in s:
-        if c in " \t\n\r\x0b\x0c":
-            if not prev_ws:
-                result.append(" ")
-            prev_ws = True
-        else:
-            result.append(c)
-            prev_ws = False
-    return "".join(result)
+    """Collapse runs of ASCII whitespace into single spaces (html.rs:648-663).
+
+    Only ASCII whitespace collapses (matching Rust's is_ascii_whitespace);
+    unicode spaces pass through untouched.
+    """
+    return _WS_RUN.sub(" ", s)
 
 
 class _Walker:
