@@ -261,17 +261,18 @@ class _SstReader:
 
 
 def _rk_value(rk: int) -> float:
+    """Decode a 32-bit RK number: bit0 = /100, bit1 = 30-bit signed int
+    else top 30 bits are the high bits of an IEEE double."""
     cent = rk & 0x01
-    is_int = rk & 0x02
-    if is_int:
-        val = float(rk >> 2 if rk >= 0 else rk >> 2)
-        # sign-extend the 30-bit integer
+    if rk & 0x02:
         iv = rk >> 2
-        if rk & 0x80000000:
+        if rk & 0x80000000:  # sign-extend the 30-bit integer
             iv -= 1 << 30
         val = float(iv)
     else:
-        val = struct.unpack("<d", b"\x00\x00\x00\x00" + struct.pack("<I", rk & 0xFFFFFFFC))[0]
+        val = struct.unpack(
+            "<d", b"\x00\x00\x00\x00" + struct.pack("<I", rk & 0xFFFFFFFC)
+        )[0]
     return val / 100.0 if cent else val
 
 

@@ -45,14 +45,16 @@ def _sf_from_dir(path: str) -> float:
 
 
 def ensure_transcripts(spark, n_convs: int) -> str:
-    """Generate (once) and cache the deterministic bench transcripts."""
-    path = os.path.join(CACHE_DIR, f"transcripts_{n_convs}.parquet")
+    """Generate (once) and cache the deterministic bench transcripts.
+    256 files -> fine-grained tasks at any parallelism (shared with
+    scripts/run_scaling.py)."""
+    path = os.path.join(CACHE_DIR, f"transcripts_{n_convs}_p256.parquet")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         df = generate_transcripts(
             spark, n_convs=n_convs, seed=42,
             mega_every=20000, mega_size=2000,
-            partitions=max(CPUS * 2, 8),
+            partitions=256,
         )
         df.write.mode("overwrite").parquet(path)
     return path
@@ -79,6 +81,9 @@ def main() -> None:
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS * 2,
         app_name="anytomd-bench",
+        # one task per cache file: fine-grained balance for the fat-string
+        # conversion stage (files are ~1.2 MB, openCost packs 1/partition)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
     )
     spark.sparkContext.setLogLevel("WARN")
     timings: dict[str, float] = {}

