@@ -58,17 +58,26 @@ def word_shingles(tokens_col, n: int = 3):
     ).otherwise(F.array(F.array_join(tokens_col, " ")))
 
 
-def _seeded_hash(seed: int):
+def _seeded_rehash(seed: int):
     # NB: the lambda must take exactly one parameter — PySpark's transform()
     # binds a second parameter to the element index, so default-arg seed
     # binding (lambda s, i=i: ...) would silently salt by position instead.
-    return lambda s: F.xxhash64(s, F.lit(seed))
+    return lambda h: F.xxhash64(h, F.lit(seed))
 
 
-def minhash_signature(shingles_col, num_hashes: int = 32):
-    """H independent minhashes: min over xxhash64(shingle, seed_i)."""
+def base_shingle_hashes(shingles_col):
+    """Hash each shingle string once (the expensive step). Materialize this
+    as a column before fanning out the lanes, so it's computed once."""
+    return F.transform(shingles_col, lambda s: F.xxhash64(s))
+
+
+def minhash_signature(base_hashes_col, num_hashes: int = 32):
+    """H independent minhashes over pre-hashed shingles: each lane rehashes
+    the 8-byte base hash with a distinct seed — an order of magnitude
+    cheaper than H string hashes and statistically equivalent for a
+    distinct-preserving base hash."""
     return F.array(*[
-        F.array_min(F.transform(shingles_col, _seeded_hash(i)))
+        F.array_min(F.transform(base_hashes_col, _seeded_rehash(i)))
         for i in range(num_hashes)
     ])
 
@@ -93,10 +102,11 @@ def minhash_lsh_candidates(
     sig = (
         docs.select(
             F.col(id_col),
-            minhash_signature(
-                word_shingles(tokenize(text_col), shingle_n), num_hashes
-            ).alias("sig"),
+            base_shingle_hashes(
+                word_shingles(tokenize(text_col), shingle_n)
+            ).alias("base"),
         )
+        .select(F.col(id_col), minhash_signature(F.col("base"), num_hashes).alias("sig"))
     )
     banded = sig.select(
         id_col,
@@ -163,10 +173,10 @@ def lsh_bucket_stats(
     ``max_bucket`` guard (how much was dropped, not silently)."""
     sig = docs.select(
         F.col(id_col),
-        minhash_signature(
-            word_shingles(tokenize(text_col), shingle_n), num_hashes
-        ).alias("sig"),
-    )
+        base_shingle_hashes(
+            word_shingles(tokenize(text_col), shingle_n)
+        ).alias("base"),
+    ).select(F.col(id_col), minhash_signature(F.col("base"), num_hashes).alias("sig"))
     rows_per_band = num_hashes // bands
     banded = sig.select(
         id_col,
