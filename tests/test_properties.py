@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis), mirroring the reference's proptest
+fuzz of the byte-size parser (src/parse.rs:132-172) and adding invariants
+for the Markdown emitters and converters: never panic, structural
+guarantees hold for arbitrary input."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from anytomd_spark.kernels.markdown import build_table, build_table_plain, escape_cell
+from anytomd_spark.kernels.parse import ByteSizeError, byte_size
+from anytomd_spark.kernels.simple import (
+    MalformedDocument,
+    convert_code,
+    convert_csv,
+    convert_json,
+    convert_plain_text,
+)
+from anytomd_spark.kernels.html_conv import convert_html
+
+
+class TestByteSize:
+    def test_examples(self):
+        assert byte_size("1024") == 1024
+        assert byte_size("1KB") == 1000
+        assert byte_size("1KiB") == 1024
+        assert byte_size("1.5GB") == 1_500_000_000
+        assert byte_size("0.5MiB") == 524_288
+        assert byte_size("  500 MB  ") == 500_000_000
+        assert byte_size("2GiB") == 2_147_483_648
+
+    @pytest.mark.parametrize(
+        "bad", ["", "0", "0MB", "-1", "-5GB", "NaN", "inf", "MB", "5XB",
+                "5abc", "16777216TiB", "1e5"],
+    )
+    def test_rejections(self, bad):
+        with pytest.raises(ByteSizeError):
+            byte_size(bad)
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=300)
+    def test_never_panics(self, s):
+        try:
+            result = byte_size(s)
+            assert result > 0  # successes are always positive
+        except ByteSizeError:
+            pass
+
+    @given(st.integers(min_value=1, max_value=10**12),
+           st.sampled_from(["", "b", "kb", "kib", "mb", "mib", "gb", "gib"]))
+    @settings(max_examples=200)
+    def test_valid_round_trips(self, n, suffix):
+        mult = {"": 1, "b": 1, "kb": 10**3, "kib": 2**10, "mb": 10**6,
+                "mib": 2**20, "gb": 10**9, "gib": 2**30}[suffix]
+        expected = n * mult
+        if expected < (1 << 53):  # exact in f64, like the reference
+            assert byte_size(f"{n}{suffix.upper()}") == expected
+
+
+class TestEmitterInvariants:
+    @given(st.text(max_size=80))
+    @settings(max_examples=200)
+    def test_escape_cell_single_line_no_bare_pipes(self, s):
+        out = escape_cell(s)
+        assert "\n" not in out and "\r" not in out
+        # every pipe is escaped
+        i = 0
+        while True:
+            i = out.find("|", i)
+            if i < 0:
+                break
+            assert i > 0 and out[i - 1] == "\\"
+            i += 1
+
+    @given(st.lists(st.text(max_size=10), min_size=1, max_size=5),
+           st.lists(st.lists(st.text(max_size=10), max_size=7), max_size=5))
+    @settings(max_examples=100)
+    def test_build_table_shape(self, headers, rows):
+        out = build_table(headers, rows)
+        # NB: str.splitlines also splits on \x1c-\x1e/\x85/U+2028 — table
+        # rows are delimited by \n only, so split on that
+        lines = out.split("\n")[:-1]
+        assert len(lines) == 2 + len(rows)
+        assert lines[1] == "|" + "---|" * len(headers)
+        plain = build_table_plain(headers, rows)
+        for line in plain.split("\n")[:-1]:
+            assert line.count("\t") >= len(headers) - 1
+
+
+class TestConverterInvariants:
+    @given(st.text(max_size=300))
+    @settings(max_examples=150)
+    def test_plain_text_identity(self, s):
+        out = convert_plain_text(s.encode("utf-8"))
+        expect = s[1:] if s.startswith("﻿") else s
+        assert out["markdown"] == expect
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=150)
+    def test_code_fence_shape(self, s):
+        out = convert_code(s.encode("utf-8"), "py")
+        assert out["markdown"].startswith("```python\n")
+        assert out["markdown"].endswith("\n```\n")
+
+    @given(st.text(max_size=150))
+    @settings(max_examples=100)
+    def test_csv_never_panics(self, s):
+        try:
+            out = convert_csv(s.encode("utf-8"))
+            assert isinstance(out["markdown"], str)
+        except MalformedDocument:
+            pass
+
+    @given(st.recursive(
+        st.none() | st.booleans() | st.integers(min_value=-10**9, max_value=10**9)
+        | st.text(max_size=12),
+        lambda children: st.lists(children, max_size=3)
+        | st.dictionaries(st.text(max_size=6), children, max_size=3),
+        max_leaves=8,
+    ))
+    @settings(max_examples=150)
+    def test_json_roundtrip_sorted(self, value):
+        payload = json.dumps(value).encode("utf-8")
+        out = convert_json(payload)
+        body = out["markdown"].removeprefix("```json\n").removesuffix("\n```\n")
+        assert json.loads(body) == value
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=100, deadline=1000)
+    def test_html_never_panics(self, s):
+        out = convert_html(s.encode("utf-8"))
+        md = out["markdown"]
+        assert md == "" or md.endswith("\n")
