@@ -86,9 +86,14 @@ class TestEmitterInvariants:
         lines = out.split("\n")[:-1]
         assert len(lines) == 2 + len(rows)
         assert lines[1] == "|" + "---|" * len(headers)
-        plain = build_table_plain(headers, rows)
-        for line in plain.split("\n")[:-1]:
-            assert line.count("\t") >= len(headers) - 1
+        # plain TSV does no escaping (markdown.rs:74-97): embedded newlines
+        # legitimately break line structure, so only check newline-free data
+        if all("\n" not in h for h in headers) and all(
+            "\n" not in c for row in rows for c in row
+        ):
+            plain = build_table_plain(headers, rows)
+            for line in plain.split("\n")[:-1]:
+                assert line.count("\t") >= len(headers) - 1
 
 
 class TestConverterInvariants:
