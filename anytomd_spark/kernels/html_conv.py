@@ -526,15 +526,107 @@ class _EdgeParser(HTMLParser):
             self._pop_close()
 
 
-def convert_html(data: bytes) -> dict:
+# ---- fast tokenizer ----------------------------------------------------
+#
+# A single-regex scan replacing html.parser's goahead loop (which costs
+# ~45% of conversion time via per-token regex dispatch and position
+# bookkeeping). Supports the token shapes the walker consumes: tags with
+# quoted/unquoted attributes, end tags, self-closing tags, comments,
+# doctype/PI, charrefs, and raw-text content for script/style (whose
+# subtrees the walker skips). Equivalence with the stdlib-based parser is
+# locked by a differential test over the synthetic corpus.
+
+_TOKEN_RE = _re.compile(
+    r"<!--.*?(?:-->|$)"                      # comment
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"            # CDATA (foreign content)
+    r"|<![^>]*>?"                            # doctype / bogus
+    r"|<\?[^>]*>?"                           # processing instruction
+    r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>"  # end tag       (group 1)
+    r"|<([a-zA-Z][-.a-zA-Z0-9:_]*)"          # start tag name (group 2)
+    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs (3)
+    r"\s*(/?)\s*>"                            # self-closing   (group 4)
+    r"|[^<]+"                                 # text
+    r"|<",                                    # lone '<' -> literal text
+    _re.DOTALL,
+)
+
+_ATTR_RE = _re.compile(
+    r"([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+
+_RAWTEXT_CLOSE = {
+    "script": _re.compile(r"</script\s*>", _re.IGNORECASE),
+    "style": _re.compile(r"</style\s*>", _re.IGNORECASE),
+    "title": _re.compile(r"</title\s*>", _re.IGNORECASE),
+    "textarea": _re.compile(r"</textarea\s*>", _re.IGNORECASE),
+}
+
+from html import unescape as _unescape
+
+
+def _fast_feed(parser: "_EdgeParser", text: str) -> None:
+    pos = 0
+    n = len(text)
+    while pos < n:
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:  # pragma: no cover - the regex is total
+            parser.handle_data(text[pos])
+            pos += 1
+            continue
+        token = m.group(0)
+        pos = m.end()
+        end_name, start_name, attrs_raw, selfclose = (
+            m.group(1), m.group(2), m.group(3), m.group(4)
+        )
+        if start_name is not None:
+            tag = start_name.lower()
+            attrs = []
+            if attrs_raw:
+                for am in _ATTR_RE.finditer(attrs_raw):
+                    val = am.group(2) or am.group(3) or am.group(4)
+                    if val is not None and "&" in val:
+                        val = _unescape(val)
+                    attrs.append((am.group(1).lower(), val))
+            if selfclose:
+                parser.handle_startendtag(tag, attrs)
+            else:
+                parser.handle_starttag(tag, attrs)
+                closer = _RAWTEXT_CLOSE.get(tag)
+                if closer is not None:
+                    # raw-text content mode: no tags until the close tag
+                    cm = closer.search(text, pos)
+                    end = cm.start() if cm else n
+                    if end > pos:
+                        raw = text[pos:end]
+                        if tag in ("title", "textarea") and "&" in raw:
+                            raw = _unescape(raw)  # RCDATA decodes charrefs
+                        parser.handle_data(raw)
+                    parser.handle_endtag(tag)
+                    pos = cm.end() if cm else n
+        elif end_name is not None:
+            parser.handle_endtag(end_name.lower())
+        elif token.startswith("<!") or token.startswith("<?"):
+            continue  # comments/doctype/PI are ignored by the walker
+        else:
+            if "&" in token:
+                token = _unescape(token)
+            parser.handle_data(token)
+
+
+def convert_html(data: bytes, fast: bool = True) -> dict:
     """Convert HTML bytes to (markdown, plain, title) per html.rs:22-40."""
     text = data.decode("utf-8")  # html.rs:27 errors on invalid UTF-8
     if text.startswith("﻿"):
         text = text[1:]
     walker = _Walker()
     parser = _EdgeParser(walker)
-    parser.feed(text)
-    parser.close()
+    if fast:
+        _fast_feed(parser, text)
+        while parser.stack:
+            parser._pop_close()
+    else:
+        parser.feed(text)
+        parser.close()
 
     out = walker.out.value().strip()
     if out:

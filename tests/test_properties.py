@@ -140,3 +140,30 @@ class TestConverterInvariants:
         out = convert_html(s.encode("utf-8"))
         md = out["markdown"]
         assert md == "" or md.endswith("\n")
+
+
+class TestFastTokenizerDifferential:
+    """The fast single-regex HTML tokenizer must behave exactly like the
+    stdlib-html.parser-based path on the synthetic corpus and fixtures."""
+
+    def test_corpus_equivalence(self):
+        import random
+
+        from anytomd_spark.transcripts import build_html
+
+        for i in range(200):
+            payload = build_html(random.Random(i)).encode("utf-8")
+            assert convert_html(payload, fast=True) == convert_html(
+                payload, fast=False
+            ), f"divergence at corpus doc {i}"
+
+    def test_fixture_equivalence(self):
+        with open("/root/reference/tests/fixtures/sample.html", "rb") as f:
+            data = f.read()
+        assert convert_html(data, fast=True) == convert_html(data, fast=False)
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=150, deadline=2000)
+    def test_fast_never_panics(self, s):
+        out = convert_html(s.encode("utf-8"), fast=True)
+        assert out["markdown"] == "" or out["markdown"].endswith("\n")

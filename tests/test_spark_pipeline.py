@@ -45,8 +45,11 @@ GOLDEN_NAMES = [
 
 def test_fixture_conversation_golden_equality(spark):
     """Port of the reference golden e2e suite through the Spark pipeline:
-    each turn's markdown must match the golden under stable ordering."""
-    df = spark.createDataFrame(fixture_transcripts())
+    each turn's markdown must match the golden under stable ordering.
+    Input rows are shuffled (FIXTURES.md: correctness must come from the
+    window-based sort, not arrival order)."""
+    shuffled = fixture_transcripts().sample(frac=1.0, random_state=7)
+    df = spark.createDataFrame(shuffled)
     converted = ordered_output(convert_transcripts(df, partitions=4))
     rows = converted.orderBy("conv_id", "turn_idx").collect()
     assert len(rows) == len(GOLDEN_NAMES)
