@@ -63,7 +63,37 @@ def build_session(
     conf.update(extra_conf or {})
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship anytomd_spark to the Python workers (the --py-files analogue
+    for library/driver-side use; idempotent per session)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_anytomd_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    import anytomd_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(anytomd_spark.__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"anytomd_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for name in files:
+                    if name.endswith(".py"):
+                        full = os.path.join(root, name)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._anytomd_shipped = True
 
 
 def convert_transcripts(
@@ -175,6 +205,7 @@ def run_pipeline(
     n_buckets: int = 64,
     resume: bool = True,
     partitions: int | None = None,
+    salted: bool = False,
 ) -> dict:
     """Resumable conversion run with a lineage sidecar.
 
@@ -199,7 +230,9 @@ def run_pipeline(
     if not run_buckets:
         return {"run_id": run_id, "rows": 0, "failures": 0, "buckets": 0}
 
-    converted = convert_transcripts(df.drop("bucket"), partitions=partitions)
+    converted = convert_transcripts(
+        df.drop("bucket"), partitions=partitions, repartition=salted
+    )
     # bucket is a pure function of conv_id — recompute it post-kernel
     # (mapInPandas declares a fixed output schema without it)
     ordered = bucketed(ordered_output(converted), n_buckets)
