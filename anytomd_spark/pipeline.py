@@ -192,6 +192,41 @@ def compute_lineage(converted_with_bucket: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def verify_against_expected(converted: DataFrame, expected: DataFrame) -> dict:
+    """Golden verification (SURVEY §2.5): join produced markdown against an
+    expected table on (conv_id, turn_idx); returns mismatch/missing counts.
+    ``expected`` schema: conv_id string, turn_idx int, markdown string."""
+    joined = converted.select(
+        "conv_id", "turn_idx", F.col("markdown").alias("got")
+    ).join(
+        expected.select(
+            "conv_id", "turn_idx", F.col("markdown").alias("want")
+        ),
+        ["conv_id", "turn_idx"],
+        "full_outer",
+    )
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("got").isNull(), 1).otherwise(0)).alias("missing"),
+        F.sum(F.when(F.col("want").isNull(), 1).otherwise(0)).alias("extra"),
+        F.sum(
+            F.when(
+                F.col("got").isNotNull()
+                & F.col("want").isNotNull()
+                & (F.col("got") != F.col("want")),
+                1,
+            ).otherwise(0)
+        ).alias("mismatched"),
+    ).collect()[0]
+    return {
+        "rows": row.n,
+        "missing": row.missing or 0,
+        "extra": row.extra or 0,
+        "mismatched": row.mismatched or 0,
+        "ok": not (row.missing or row.extra or row.mismatched),
+    }
+
+
 def compute_fmt_histogram(converted: DataFrame) -> DataFrame:
     return converted.groupBy("fmt").agg(F.count(F.lit(1)).alias("n"))
 

@@ -125,3 +125,21 @@ def test_compute_lineage_histogram(spark):
     assert total == len(GOLDEN_NAMES)
     hist_total = sum(sum(r.fmt_hist.values()) for r in lin if r.fmt_hist)
     assert hist_total == len(GOLDEN_NAMES)
+
+
+def test_verify_against_expected(spark):
+    from anytomd_spark.pipeline import verify_against_expected
+
+    df = spark.createDataFrame(fixture_transcripts())
+    converted = convert_transcripts(df)
+    expected = converted.select("conv_id", "turn_idx", "markdown")
+    assert verify_against_expected(converted, expected)["ok"]
+
+    tampered = expected.withColumn(
+        "markdown",
+        F.when(F.col("turn_idx") == 0, F.lit("WRONG")).otherwise(
+            F.col("markdown")
+        ),
+    )
+    report = verify_against_expected(converted, tampered)
+    assert report["mismatched"] == 1 and not report["ok"]
