@@ -1,0 +1,85 @@
+"""Best-effort semantics under corrupt input: every malformed payload
+becomes a per-row ``error`` (lib.rs:211-231 generalized) — the Spark job
+itself never fails, and valid rows in the same batch still convert."""
+
+from __future__ import annotations
+
+import base64
+
+import pandas as pd
+import pytest
+
+from anytomd_spark.batch import convert_batch
+from anytomd_spark.kernels.convert import convert_payload
+
+CORRUPT_CASES = [
+    ("truncated-zip-docx", base64.b64encode(b"PK\x03\x04garbage").decode(), ""),
+    ("truncated-ole-xls", base64.b64encode(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64).decode(), ""),
+    ("invalid-json", '{"unterminated": ', "json"),
+    ("invalid-xml", "<a><b></a>", "xml"),
+    ("empty-xml", "   ", "xml"),
+    ("pdf", "%PDF-1.7 binary", "pdf"),
+    ("invalid-ipynb", '{"cells": "not-a-list"}', "ipynb"),
+    ("bad-base64-zip", "UEsDB!!!not-base64!!!", ""),
+]
+
+
+@pytest.mark.parametrize("name,payload,hint", CORRUPT_CASES,
+                         ids=[c[0] for c in CORRUPT_CASES])
+def test_corrupt_payload_yields_error_row(name, payload, hint):
+    out = convert_payload(payload, hint or None)
+    assert out["error"] is not None, name
+    assert out["markdown"] is None
+
+
+def test_batch_mixes_good_and_bad_rows():
+    rows = [
+        ("c", 0, "user", "# fine markdown", "md", None),
+        ("c", 1, "user", '{"bad": ', "json", None),
+        ("c", 2, "user", "col\nv\n", "csv", None),
+        ("c", 3, "user", base64.b64encode(b"PK\x03\x04junk").decode(), "", None),
+        ("c", 4, "user", "<r><x>ok</x></r>", "xml", None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    out = convert_batch(pdf)
+    errors = out["error"].tolist()
+    assert errors[0] is None and out["markdown"][0] == "# fine markdown"
+    assert errors[1] is not None
+    assert errors[2] is None and "| col |" in out["markdown"][2]
+    assert errors[3] is not None
+    assert errors[4] is None and "```xml" in out["markdown"][4]
+    # metrics reflect the split
+    assert out["chars_out"][1] == 0
+    assert out["bytes_in"].tolist()[0] > 0
+
+
+def test_encoding_fallback_payloads():
+    # cp1252-ish content arrives as a str already (Spark string column);
+    # at the bytes level the decoder falls back with a warning
+    out = convert_payload("Name,City\nAlice,Montréal\n", "csv")
+    assert out["error"] is None
+    assert "Montréal" in out["markdown"]
+
+    # UTF-16LE BOM carried via base64? Not a ZIP/OLE magic -> treated as
+    # opaque text; the txt path passes it through unchanged
+    out2 = convert_payload("plain text with BOM ﻿ inside", "txt")
+    assert out2["error"] is None
+
+
+def test_huge_payload_rejected_by_size_guard():
+    out = convert_payload("x" * 1000, "txt", max_input_bytes=100)
+    assert out["error"] is not None and "exceeds limit" in out["error"]
+
+
+def test_zip_budget_guard():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("word/document.xml", "A" * 100_000)  # compresses tiny
+    payload = base64.b64encode(buf.getvalue()).decode()
+    out = convert_payload(payload, None, max_zip_bytes=1000)
+    assert out["error"] is not None and "exceeds limit" in out["error"]
