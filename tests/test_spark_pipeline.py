@@ -143,3 +143,22 @@ def test_verify_against_expected(spark):
     )
     report = verify_against_expected(converted, tampered)
     assert report["mismatched"] == 1 and not report["ok"]
+
+
+def test_salted_equals_unsalted_on_skewed_input(spark):
+    """Mega-conversation skew: the salted repartition path must produce
+    exactly the same converted rows as the shuffle-free path."""
+    df = generate_transcripts(
+        spark, n_convs=12, seed=13, mega_every=6, mega_size=120, partitions=3
+    )
+    plain = convert_transcripts(df, repartition=False)
+    salted = convert_transcripts(df, partitions=4, salt_buckets=4,
+                                 repartition=True)
+    key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
+    rows_a = sorted(plain.collect(), key=key)
+    rows_b = sorted(salted.collect(), key=key)
+    assert rows_a == rows_b
+    # skew actually present: one conversation dominates
+    sizes = {r.conv_id: r.n for r in df.groupBy("conv_id").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert max(sizes.values()) >= 100
