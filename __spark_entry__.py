@@ -236,6 +236,12 @@ def _q_events_sessionize(spark, sf):
     )
 
 
+def _q_dedup_lsh_bucket_stats(spark, sf):
+    """Observability for the max_bucket guard: bucket-size distribution."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return DD.lsh_bucket_stats(docs, num_hashes=16, bands=4)
+
+
 def _q_media_features(spark, sf):
     from anytomd_spark.analysis.multimodal import extract_features, synthesize_media
 
@@ -263,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_lsh_bucket_stats": _q_dedup_lsh_bucket_stats,
         # similarity family
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ann_lsh": _q_sim_ann_lsh,
@@ -413,7 +420,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,
-        # text_quality / text_langid / fingerprints / minhash / simhash /
-        # ann-lsh / near-dups / media: engine-specific hash or UDF-backed
-        # -> rows-only checks (documented weaker gate)
+        "text_quality": """
+            WITH scored AS (
+                SELECT source,
+                       length(text) AS total,
+                       length(regexp_replace(text,
+                           '[^!-/:-@\\[-`{-~]', '', 'g')) AS punct,
+                       length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+                       length(regexp_replace(text,
+                           '[^ ' || chr(9) || chr(10) || ']', '', 'g')) AS spaces,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                trim(text), '\\s+')) END AS n_tok,
+                       len(list_intersect(
+                           list_distinct(regexp_split_to_array(
+                               trim(lower(text)), '\\s+')),
+                           ['the','a','an','and','or','of','to','in','is',
+                            'are','was','were','be','been','it','this',
+                            'that','with','for','on','as','at','by','from',
+                            'not'])) AS stop_hits
+                FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   round(avg(CASE WHEN total > 0
+                             THEN punct::double / total ELSE 0 END), 6)
+                       AS avg_punct_ratio,
+                   round(avg(CASE WHEN total > 0
+                             THEN digits::double / total ELSE 0 END), 6)
+                       AS avg_digit_ratio,
+                   round(avg(CASE WHEN n_tok > 0
+                             THEN (total - spaces)::double / n_tok
+                             ELSE 0 END), 6) AS avg_token_len,
+                   sum(stop_hits) AS stopword_hits
+            FROM scored GROUP BY source
+        """,
+        # text_langid / fingerprints / minhash / simhash / lsh-bucket-stats
+        # / ann-lsh / near-dups / media: engine-specific hash (xxhash64) or
+        # UDF-backed -> rows-only checks (documented weaker gate)
     }
