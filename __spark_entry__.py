@@ -315,9 +315,9 @@ def oracle_sql() -> dict[str, str]:
         "convert_metrics": f"""
             SELECT {SQL_FMT} AS fmt,
                    count(*) AS n,
-                   sum(strlen({SQL_PAYLOAD})) AS total_bytes_in,
-                   sum(length({SQL_MARKDOWN})) AS total_chars_out,
-                   0 AS n_failures
+                   sum(strlen({SQL_PAYLOAD}))::bigint AS total_bytes_in,
+                   sum(length({SQL_MARKDOWN}))::bigint AS total_chars_out,
+                   0::bigint AS n_failures
             FROM documents GROUP BY 1
         """,
         "convert_turn_ordering": """
@@ -357,21 +357,21 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": """
             WITH scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                       round(list_cosine_similarity(
-                           q.embedding::double[], c.embedding::double[]), 6)
-                           AS cos_sim
+                       list_cosine_similarity(
+                           q.embedding::double[], c.embedding::double[])
+                           AS raw_sim
                 FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
                 WHERE q.vec_id < 5
             )
-            SELECT query_id, cand_id, cos_sim,
+            SELECT query_id, cand_id, round(raw_sim, 6) AS cos_sim,
                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos_sim DESC, cand_id) AS rank
+                                      ORDER BY raw_sim DESC, cand_id) AS rank
             FROM scored
             QUALIFY rank <= 3
         """,
         "text_token_stats": """
             SELECT lang, count(*) AS n_docs,
-                   sum(array_length(regexp_split_to_array(trim(text), '\\s+')))
+                   sum(array_length(regexp_split_to_array(trim(text), '\\s+')))::bigint
                        AS total_tokens,
                    round(avg(array_length(
                        regexp_split_to_array(trim(text), '\\s+'))), 6)
@@ -416,7 +416,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(new_sess) AS n_sessions,
+            SELECT user_id, sum(new_sess)::bigint AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,
@@ -451,7 +451,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN n_tok > 0
                              THEN (total - spaces)::double / n_tok
                              ELSE 0 END), 6) AS avg_token_len,
-                   sum(stop_hits) AS stopword_hits
+                   sum(stop_hits)::bigint AS stopword_hits
             FROM scored GROUP BY source
         """,
         # text_langid / fingerprints / minhash / simhash / lsh-bucket-stats

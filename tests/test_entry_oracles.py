@@ -67,16 +67,36 @@ ORACLES = entrymod.oracle_sql()
 ALL_QUERIES = entrymod.queries()
 
 
+def _dtype_kind(dt) -> str:
+    """Coarse dtype class for driver-hash compatibility: the driver's
+    value hash is dtype-sensitive for object-boxed values (e.g. DuckDB
+    HUGEINT -> object of Python ints vs Spark BIGINT -> int64), so flag
+    any column whose pandas dtype kind diverges between the two engines."""
+    k = dt.kind
+    return "i" if k == "u" else k
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES), ids=sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     q = ALL_QUERIES[name]
     sdf = q(spark, SF_DIR)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = sdf.columns
+    spark_pdf = sdf.toPandas()
+    spark_rows = [tuple(r) for r in spark_pdf.itertuples(index=False)]
+    spark_cols = list(spark_pdf.columns)
 
     res = duck.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
+    duck_pdf = duck.execute(ORACLES[name]).fetchdf()
+    for col in spark_cols:
+        if col in duck_pdf.columns and len(spark_pdf) and len(duck_pdf):
+            sk = _dtype_kind(spark_pdf[col].dtype)
+            dk = _dtype_kind(duck_pdf[col].dtype)
+            assert sk == dk, (
+                f"{name}.{col}: pandas dtype kind differs "
+                f"(spark {spark_pdf[col].dtype} vs duckdb {duck_pdf[col].dtype})"
+                " — the driver's value hash will mismatch; cast in the oracle"
+            )
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
