@@ -44,6 +44,8 @@ for _ext in ("docx", "pptx", "xlsx", "xls", "csv", "ipynb", "json", "pdf", "xml"
 for _ext in ("txt", "text", "log", "md", "markdown", "rst", "ini", "cfg",
              "conf", "toml", "yaml", "yml"):
     _HINT_TO_FMT[_ext] = "txt"
+for _ext in sniff._IMAGE_EXTS:
+    _HINT_TO_FMT[_ext] = "image"
 
 
 def classify_formats(text: pd.Series, tool: pd.Series) -> pd.Series:
@@ -89,7 +91,11 @@ def classify_formats(text: pd.Series, tool: pd.Series) -> pd.Series:
     return fmt
 
 
-def convert_batch(pdf: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
+def convert_batch(
+    pdf: pd.DataFrame,
+    strict: bool = False,
+    max_input_bytes: int | None = None,
+) -> pd.DataFrame:
     """Convert a batch of turns. Requires ``text`` and ``tool`` columns;
     passthrough columns are preserved. Never raises on a row."""
     n = len(pdf)
@@ -120,7 +126,16 @@ def convert_batch(pdf: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
             error[i] = "unsupported format"
             continue
         data = None
-        if row_fmt in ("zipb64", "xls") and (
+        if row_fmt == "image":
+            # image payloads may arrive base64-encoded (like the binary
+            # formats) — decode for magic-based mime sniffing if possible
+            import base64 as _b64
+            import binascii as _ba
+            try:
+                data = _b64.b64decode(payload, validate=True)
+            except (_ba.Error, ValueError):
+                data = None
+        elif row_fmt in ("zipb64", "xls") and (
             payload.startswith("UEsDB") or payload.startswith("0M8R")
         ):
             data = sniff.maybe_base64_binary(payload)
@@ -143,12 +158,16 @@ def convert_batch(pdf: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
             error[i] = "unsupported format: pdf"
             continue
         ext = row_fmt
-        if row_fmt in ("code", "txt"):
+        if row_fmt in ("code", "txt", "image"):
+            # keep the concrete extension (language tag / image filename)
             h = hints_arr[i].strip().lstrip(".").lower()
-            if h:
+            if h and h != row_fmt:
                 ext = h
         try:
-            result = convert_bytes(data, ext, strict=strict)
+            kw = {} if max_input_bytes is None else {
+                "max_input_bytes": max_input_bytes
+            }
+            result = convert_bytes(data, ext, strict=strict, **kw)
         except Exception as e:  # noqa: BLE001 best-effort row semantics
             error[i] = f"{type(e).__name__}: {e}"
             continue

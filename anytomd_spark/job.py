@@ -19,7 +19,7 @@ import argparse
 import json
 import sys
 
-from anytomd_spark.kernels.parse import byte_size
+from anytomd_spark.kernels.parse import ByteSizeError, byte_size
 from anytomd_spark.pipeline import build_session, run_pipeline
 
 
@@ -41,9 +41,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--max-input-bytes", default="8GiB",
                     help="per-turn payload size guard (human-readable)")
+    ap.add_argument("--strict", action="store_true",
+                    help="fail a row on its first conversion warning")
     args = ap.parse_args(argv)
 
-    _ = byte_size(args.max_input_bytes)  # validate early
+    try:
+        max_input_bytes = byte_size(args.max_input_bytes)  # validate early
+    except ByteSizeError as e:
+        ap.error(f"--max-input-bytes: {e}")
 
     spark = build_session(master=args.master, app_name="anytomd-convert")
     if args.table:
@@ -61,6 +66,8 @@ def main(argv: list[str] | None = None) -> int:
         resume=not args.no_resume,
         partitions=args.partitions,
         salted=args.salted,
+        strict=args.strict,
+        max_input_bytes=max_input_bytes,
     )
     print(json.dumps(result))
     return 0 if result["failures"] == 0 else 1

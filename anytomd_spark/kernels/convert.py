@@ -42,12 +42,14 @@ class ConversionResult(dict):
     """Dict result with keys markdown/plain_text/title/warnings/fmt/error."""
 
 
-def _image_stub(data: bytes) -> dict:
+def _image_stub(data: bytes, ext_hint: str = "") -> dict:
     """Standalone image: ``![](image.{ext})`` with empty alt — the default
-    no-describer path of image.rs:41-117."""
+    no-describer path of image.rs:41-117. Magic bytes win; the extension
+    hint names the file when the payload isn't sniffable."""
     from anytomd_spark.kernels.decode import mime_from_image
 
-    mime = mime_from_image("image", data)
+    filename_hint = f"image.{ext_hint}" if ext_hint else "image"
+    mime = mime_from_image(filename_hint, data)
     ext = {
         "image/png": "png", "image/jpeg": "jpg", "image/gif": "gif",
         "image/webp": "webp", "image/bmp": "bmp", "image/tiff": "tiff",
@@ -99,7 +101,7 @@ def convert_bytes(
     elif ext in ("html", "htm"):
         result = convert_html(data)
     elif sniff.detect_by_extension(ext) == "image":
-        result = _image_stub(data)
+        result = _image_stub(data, ext)
     elif sniff.detect_by_extension(ext) == "txt" or ext == "txt":
         result = convert_plain_text(data)
     else:

@@ -62,8 +62,12 @@ def format_float(f: float) -> str:
     """Rust ``f64::to_string`` = shortest round-trip, like Python repr."""
     if f != f or f in (float("inf"), float("-inf")):
         return {float("inf"): "inf", float("-inf"): "-inf"}.get(f, "NaN")
-    if f == int(f) and abs(f) < 1e17:
-        return str(int(f))  # format_cell: fract()==0 -> "{:.0}"
+    if f == int(f):
+        if abs(f) < 1e17:
+            return str(int(f))  # format_cell: fract()==0 -> "{:.0}"
+        # Rust {:.0}/Display expand digits positionally even for huge
+        # whole values; repr() would switch to '1e+20'-style notation
+        return f"{f:.0f}"
     return repr(f)
 
 

@@ -101,6 +101,8 @@ def convert_transcripts(
     partitions: int | None = None,
     salt_buckets: int = 16,
     repartition: bool = False,
+    strict: bool = False,
+    max_input_bytes: int | None = None,
 ) -> DataFrame:
     """transcripts -> converted turns (adds markdown/plain/fmt/... columns).
 
@@ -129,14 +131,15 @@ def convert_transcripts(
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
+    def _convert_iter(iterator):
+        for pdf in iterator:
+            yield convert_batch(
+                pdf, strict=strict, max_input_bytes=max_input_bytes
+            )
+
     return out.mapInPandas(
         _convert_iter, schema=f"{schema}, {OUTPUT_SPARK_SCHEMA}"
     )
-
-
-def _convert_iter(iterator):
-    for pdf in iterator:
-        yield convert_batch(pdf)
 
 
 def ordered_output(converted: DataFrame) -> DataFrame:
@@ -241,6 +244,8 @@ def run_pipeline(
     resume: bool = True,
     partitions: int | None = None,
     salted: bool = False,
+    strict: bool = False,
+    max_input_bytes: int | None = None,
 ) -> dict:
     """Resumable conversion run with a lineage sidecar.
 
@@ -266,7 +271,8 @@ def run_pipeline(
         return {"run_id": run_id, "rows": 0, "failures": 0, "buckets": 0}
 
     converted = convert_transcripts(
-        df.drop("bucket"), partitions=partitions, repartition=salted
+        df.drop("bucket"), partitions=partitions, repartition=salted,
+        strict=strict, max_input_bytes=max_input_bytes,
     )
     # bucket is a pure function of conv_id — recompute it post-kernel
     # (mapInPandas declares a fixed output schema without it)
@@ -274,6 +280,10 @@ def run_pipeline(
 
     (
         ordered.write.mode("overwrite")
+        # per-write, not session-level: a caller-supplied SparkSession
+        # without build_session's conf would otherwise statically
+        # overwrite the whole path, deleting completed buckets
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(output_path)
     )

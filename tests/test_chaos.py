@@ -83,3 +83,44 @@ def test_zip_budget_guard():
     payload = base64.b64encode(buf.getvalue()).decode()
     out = convert_payload(payload, None, max_zip_bytes=1000)
     assert out["error"] is not None and "exceeds limit" in out["error"]
+
+def test_batch_image_hint_dispatch():
+    """tool='png' in the pipeline path matches convert_payload's image
+    dispatch (both paths emit the reference's empty-alt stub)."""
+    png = base64.b64encode(
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    ).decode()
+    pdf = pd.DataFrame(
+        [("c", 0, "user", png, "png", None),
+         ("c", 1, "user", "not-even-base64", "jpg", None)],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    out = convert_batch(pdf)
+    assert out["error"][0] is None
+    assert out["markdown"][0] == "![](image.png)\n"
+    assert out["fmt"][0] == "image"
+    # junk payload with image hint: still the stub path, filename by magic
+    assert out["error"][1] is None
+    assert out["markdown"][1].startswith("![](image")
+
+
+def test_batch_max_input_bytes_threaded():
+    pdf = pd.DataFrame(
+        [("c", 0, "user", "x" * 1000, "txt", None)],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    out = convert_batch(pdf, max_input_bytes=100)
+    assert out["error"][0] is not None and "exceeds limit" in out["error"][0]
+    ok = convert_batch(pdf)
+    assert ok["error"][0] is None
+
+
+def test_batch_strict_mode_threaded():
+    # cp1252 fallback emits a warning -> strict turns it into a row error
+    latin1 = base64.b64encode("caf\xe9,x\n1,2\n".encode("cp1252")).decode()
+    pdf = pd.DataFrame(
+        [("c", 0, "user", "ok", "txt", None)],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    out = convert_batch(pdf, strict=True)
+    assert out["error"][0] is None  # warning-free row unaffected

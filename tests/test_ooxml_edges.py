@@ -438,3 +438,13 @@ class TestHtmlEdges:
     def test_entities_decoded(self):
         out = convert_html(b"<p>a &amp; b &lt;tag&gt; &#169;</p>")
         assert out["markdown"] == "a & b <tag> ©\n"
+
+
+class TestFormatFloatLarge:
+    def test_huge_whole_float_positional(self):
+        # reference format_cell expands digits; repr() would give '1e+20'
+        from anytomd_spark.kernels.xlsx_conv import format_float
+        assert format_float(1e20) == "100000000000000000000"
+        assert format_float(-1e18) == "-1000000000000000000"
+        assert format_float(123.0) == "123"
+        assert format_float(0.5) == "0.5"
