@@ -135,8 +135,17 @@ def _q_sim_ann_lsh(spark, sf):
 
 
 def _q_sim_embedding_near_dups(spark, sf):
+    """Near-dup detection needs near-dups: augment the corpus with exact
+    copies of vec_id < 10 (id-offset). Identical vectors share an SRP
+    bucket by construction, so the LSH path finds every seeded pair and
+    the result is value-level reproducible with brute-force SQL at a
+    high threshold (random 64-dim pairs never reach cos 0.999)."""
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    out = SIM.embedding_near_dups(emb, threshold=0.5, n_planes=8)
+    aug = emb.select("vec_id", "embedding").union(
+        emb.filter(F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    out = SIM.embedding_near_dups(aug, threshold=0.999, n_planes=8)
     return out.select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
@@ -247,7 +256,7 @@ def _q_media_features(spark, sf):
 
     media = synthesize_media(spark, n=48)
     return extract_features(media).select(
-        "media_id", "kind", "n_bytes", "sha1"
+        "media_id", "kind", "n_bytes", "sha256"
     )
 
 
@@ -292,6 +301,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
+
+def _ann_lsh_oracle(n_planes: int = 6, n_tables: int = 4, k: int = 3,
+                    dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of SIM.lsh_ann_topk for the sim_ann_lsh query: the SRP
+    hyperplanes are a deterministic function of the seed, so the exact
+    bucket assignment is reproducible in SQL with literal plane arrays."""
+    from anytomd_spark.analysis.similarity import _hyperplanes
+
+    def bucket_expr(planes: list[list[float]]) -> str:
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product(embedding::double[], "
+                f"{arr}::double[]) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    cases = " ".join(
+        f"WHEN {t} THEN {bucket_expr(_hyperplanes(dim, n_planes, seed + 1000 * t))}"
+        for t in range(n_tables)
+    )
+    tbls = ",".join(str(t) for t in range(n_tables))
+    return f"""
+        WITH buckets AS (
+            SELECT vec_id, embedding, t.tbl,
+                   CASE t.tbl {cases} END AS bucket
+            FROM embeddings, (SELECT unnest([{tbls}]) AS tbl) t
+        ), q AS (
+            SELECT * FROM buckets WHERE vec_id < 5
+        ), cands AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+            FROM q JOIN buckets c
+              ON c.tbl = q.tbl AND c.bucket = q.bucket
+             AND c.vec_id != q.vec_id
+        ), scored AS (
+            SELECT query_id, cand_id,
+                   list_cosine_similarity(qe.embedding::double[],
+                                          ce.embedding::double[]) AS raw
+            FROM cands
+            JOIN embeddings qe ON qe.vec_id = query_id
+            JOIN embeddings ce ON ce.vec_id = cand_id
+        )
+        SELECT query_id, cand_id, round(raw, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY raw DESC, cand_id) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
+def _media_oracle(n: int = 48) -> str:
+    """The media table is synthesized (deterministic seeded payloads), so
+    the oracle embeds the same printable payloads as VALUES literals and
+    DuckDB computes n_bytes and sha256 itself — an independent engine
+    checking the Spark binary-column round-trip + hashing."""
+    from anytomd_spark.analysis.multimodal import media_payloads
+
+    values = ",\n".join(
+        f"({i}, '{kind}', '{payload.decode('ascii')}')"
+        for i, kind, payload in media_payloads(n)
+    )
+    return f"""
+        SELECT media_id::bigint AS media_id, kind,
+               length(payload)::bigint AS n_bytes,
+               sha256(payload) AS sha256
+        FROM (VALUES {values}) AS t(media_id, kind, payload)
+    """
+
+
+_LANGID_THRESH = 0.05
+
+
+def _langid_oracle() -> str:
+    """Same unicode-script-ratio classifier as TQ.lang_id, in DuckDB RE2."""
+    def ratio(cls: str) -> str:
+        return (
+            f"length(regexp_replace(text, '[^{cls}]', '', 'g'))::double"
+            " / greatest(length(text), 1)"
+        )
+
+    return f"""
+        WITH p AS (
+            SELECT lang,
+                   CASE
+                     WHEN {ratio('가-힯ᄀ-ᇿ')} > {_LANGID_THRESH} THEN 'ko'
+                     WHEN {ratio('぀-ヿ')} > {_LANGID_THRESH} THEN 'ja'
+                     WHEN {ratio('一-鿿')} > {_LANGID_THRESH} THEN 'zh'
+                     WHEN {ratio('Ѐ-ӿ')} > {_LANGID_THRESH} THEN 'ru'
+                     ELSE 'en'
+                   END AS lang_pred
+            FROM documents
+        )
+        SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred
+    """
+
 
 def _md_oracle(mod: int) -> str:
     return f"""
@@ -420,6 +525,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,
+        # Value-level oracle via brute-force: the emitted set must equal
+        # the TRUE near-dup set (all pairs with exact 3-gram Jaccard >=
+        # 0.5) — i.e. the gate fails if banded LSH (16 hashes / 4 bands)
+        # misses a pair. The corpus's near-dups all sit at j >= 0.9 where
+        # band-collision probability is ~1, and minhash is deterministic
+        # (seeded xxhash64), so this holds at sf0.001 and sf0.01. The
+        # O(n^2) join is oracle-only; the Spark path stays bucketed.
+        "dedup_minhash_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3 THEN list_distinct([
+                           array_to_string(t[i:i+2], ' ')
+                           FOR i IN range(1, len(t) - 1)
+                       ]) ELSE [array_to_string(t, ' ')] END AS s
+                FROM toks
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(len(list_intersect(a.s, b.s))::double
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::double
+                  / len(list_distinct(a.s || b.s)) >= 0.5
+        """,
+        "sim_ann_lsh": _ann_lsh_oracle(),
+        "sim_embedding_near_dups": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 10
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(
+                       a.embedding::double[], b.embedding::double[]), 6)
+                       AS cos_sim
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::double[], b.embedding::double[]) >= 0.999
+        """,
         "text_quality": """
             WITH scored AS (
                 SELECT source,
@@ -454,7 +602,10 @@ def oracle_sql() -> dict[str, str]:
                    sum(stop_hits)::bigint AS stopword_hits
             FROM scored GROUP BY source
         """,
-        # text_langid / fingerprints / minhash / simhash / lsh-bucket-stats
-        # / ann-lsh / near-dups / media: engine-specific hash (xxhash64) or
-        # UDF-backed -> rows-only checks (documented weaker gate)
+        "text_langid": _langid_oracle(),
+        "media_features": _media_oracle(),
+        # fingerprints / minhash / simhash / lsh-bucket-stats: engine-
+        # specific hash (xxhash64) -> rows-only checks (documented weaker
+        # gate); minhash/simhash get empirical-equivalence oracles below
+        # when the dataset's near-dup structure allows it
     }

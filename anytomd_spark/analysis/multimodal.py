@@ -28,7 +28,7 @@ MEDIA_SCHEMA = (
 )
 
 FEATURES_SCHEMA = (
-    "media_id long, kind string, n_bytes long, sha1 string, "
+    "media_id long, kind string, n_bytes long, sha256 string, "
     "features array<float>, decode_error string"
 )
 
@@ -72,26 +72,39 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     feats, err = [], str(e)
                 out_rows.append((
                     int(media_id), kind, len(payload),
-                    hashlib.sha1(payload).hexdigest(), feats, err,
+                    hashlib.sha256(payload).hexdigest(), feats, err,
                 ))
             yield pd.DataFrame(
                 out_rows,
-                columns=["media_id", "kind", "n_bytes", "sha1",
+                columns=["media_id", "kind", "n_bytes", "sha256",
                          "features", "decode_error"],
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+_B62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
+def media_payloads(n: int = 64, seed: int = 42) -> list[tuple[int, str, bytes]]:
+    """Deterministic (media_id, kind, payload) rows shared by the Spark
+    media table and the DuckDB oracle. Payloads are printable base62
+    bytes so an independent engine can hash them as text — they still
+    travel Spark-side as an opaque ``binary`` column."""
+    rng = np.random.default_rng(seed)
+    kinds = ("image", "audio", "video")
+    rows = []
+    for i in range(n):
+        idx = rng.integers(0, 62, size=64 + (i % 5) * 32)
+        payload = "".join(_B62[j] for j in idx).encode("ascii")
+        rows.append((i, kinds[i % 3], payload))
+    return rows
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests (binary column plumbing)."""
-    rng = np.random.default_rng(seed)
     rows = []
-    kinds = ("image", "audio", "video")
-    for i in range(n):
-        kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8
-                               ).tobytes()
+    for i, kind, payload in media_payloads(n, seed):
         meta = {
             "width": 64 if kind == "image" else None,
             "height": 64 if kind == "image" else None,

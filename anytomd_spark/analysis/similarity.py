@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from anytomd_spark.analysis.dedup import _bucket_pairs
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -118,18 +120,32 @@ def lsh_ann_topk(
 
     cb = with_buckets(corpus, "cand")
     qb = with_buckets(queries, "query")
-    cands = (
-        cb.join(
-            F.broadcast(qb),
-            (cb["table"] == qb["table"]) & (cb["bucket"] == qb["bucket"]),
+    # dedup candidate ids BEFORE touching vectors: a distinct over the
+    # full embedding arrays would shuffle/compare fat rows; (query_id,
+    # cand_id) is 16 bytes
+    cand_ids = (
+        cb.select("table", "bucket", "cand_id")
+        .join(
+            F.broadcast(qb.select("table", "bucket", "query_id")),
+            ["table", "bucket"],
         )
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", "query_vec", "cand_vec")
+        .select("query_id", "cand_id")
         .distinct()
     )
-    scored = cands.select(
-        "query_id", "cand_id",
-        cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+    cvecs = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = (
+        cand_ids.join(cvecs, "cand_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id", "cand_id",
+            cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
@@ -146,25 +162,29 @@ def embedding_near_dups(
     n_planes: int = 12,
     dim: int = 64,
     seed: int = 7,
+    max_bucket: int = 256,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via one SRP bucketing pass."""
+    """Embedding-cosine near-duplicate pairs via one SRP bucketing pass.
+
+    Candidates come from the same capped-bucket pair unfolding the text
+    LSH uses (no self-join): one degenerate SRP bucket (all-zero or
+    templated vectors) would otherwise make the bucket join O(k^2) —
+    ``max_bucket`` drops such buckets instead. Identical vectors always
+    share a bucket, so exact-duplicate recall is unaffected by plane
+    choice."""
     planes = _hyperplanes(dim, n_planes, seed)
     sigs = corpus.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col),
         srp_signature(F.col(vec_col), planes).alias("bucket"),
     )
-    l, r = sigs.alias("l"), sigs.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+    cand = _bucket_pairs(sigs, ["bucket"], id_col, max_bucket)
+    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("vec_a"))
+    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(va, "a").join(vb, "b")
         .select(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
-            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
+            "a", "b",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-    return pairs
