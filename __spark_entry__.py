@@ -20,9 +20,9 @@ from anytomd_spark.analysis import dedup as DD
 from anytomd_spark.analysis import similarity as SIM
 from anytomd_spark.analysis import text_quality as TQ
 from anytomd_spark.derive import (
+    SQL_BYTES_IN,
     SQL_FMT,
     SQL_MARKDOWN,
-    SQL_PAYLOAD,
     documents_transcripts,
 )
 from anytomd_spark.pipeline import convert_transcripts, ordered_output
@@ -270,6 +270,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_html_extract": _markdown_for("html"),
         "convert_json_pretty": _markdown_for("json"),
         "convert_xml_pretty": _markdown_for("xml"),
+        # binary formats: fixed payloads, constant expected markdown
+        # (value-level rows for the OOXML/notebook converters)
+        "convert_docx_extract": _markdown_for("docx"),
+        "convert_pptx_extract": _markdown_for("pptx"),
+        "convert_xlsx_extract": _markdown_for("xlsx"),
+        "convert_xls_extract": _markdown_for("xls"),
+        "convert_ipynb_extract": _markdown_for("ipynb"),
         "convert_metrics": _q_convert_metrics,
         "convert_turn_ordering": _q_convert_turn_ordering,
         # dedup family
@@ -401,7 +408,7 @@ def _langid_oracle() -> str:
 def _md_oracle(mod: int) -> str:
     return f"""
         SELECT doc_id, {SQL_MARKDOWN} AS markdown
-        FROM documents WHERE doc_id % 6 = {mod}
+        FROM documents WHERE doc_id % 11 = {mod}
     """
 
 
@@ -417,10 +424,15 @@ def oracle_sql() -> dict[str, str]:
         "convert_html_extract": _md_oracle(3),
         "convert_json_pretty": _md_oracle(4),
         "convert_xml_pretty": _md_oracle(5),
+        "convert_docx_extract": _md_oracle(6),
+        "convert_pptx_extract": _md_oracle(7),
+        "convert_xlsx_extract": _md_oracle(8),
+        "convert_xls_extract": _md_oracle(9),
+        "convert_ipynb_extract": _md_oracle(10),
         "convert_metrics": f"""
             SELECT {SQL_FMT} AS fmt,
                    count(*) AS n,
-                   sum(strlen({SQL_PAYLOAD}))::bigint AS total_bytes_in,
+                   sum({SQL_BYTES_IN})::bigint AS total_bytes_in,
                    sum(length({SQL_MARKDOWN}))::bigint AS total_chars_out,
                    0::bigint AS n_failures
             FROM documents GROUP BY 1
