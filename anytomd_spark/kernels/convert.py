@@ -42,26 +42,79 @@ class ConversionResult(dict):
     """Dict result with keys markdown/plain_text/title/warnings/fmt/error."""
 
 
-def _image_stub(data: bytes, ext_hint: str = "") -> dict:
-    """Standalone image: ``![](image.{ext})`` with empty alt — the default
-    no-describer path of image.rs:41-117. Magic bytes win; the extension
-    hint names the file when the payload isn't sniffable."""
-    from anytomd_spark.kernels.decode import mime_from_image
+DEFAULT_MAX_IMAGE_BYTES = 4 << 30  # ConversionOptions default (mod.rs:120)
 
-    filename_hint = f"image.{ext_hint}" if ext_hint else "image"
-    mime = mime_from_image(filename_hint, data)
-    ext = {
-        "image/png": "png", "image/jpeg": "jpg", "image/gif": "gif",
-        "image/webp": "webp", "image/bmp": "bmp", "image/tiff": "tiff",
-        "image/svg+xml": "svg", "image/heic": "heic", "image/avif": "avif",
-    }.get(mime, "")
+# ext_from_mime (image.rs:24-37)
+_EXT_FROM_MIME = {
+    "image/png": "png", "image/jpeg": "jpg", "image/gif": "gif",
+    "image/webp": "webp", "image/bmp": "bmp", "image/tiff": "tiff",
+    "image/svg+xml": "svg", "image/heic": "heic", "image/avif": "avif",
+}
+
+
+def convert_image(
+    data: bytes,
+    max_image_bytes: int = DEFAULT_MAX_IMAGE_BYTES,
+    describer=None,
+) -> dict:
+    """Standalone image conversion — ImageConverter (image.rs:41-146).
+
+    The filename comes from magic-byte MIME sniffing only (the reference
+    passes the literal name "image", so an extension hint never names the
+    file). Over-budget images return an empty result plus a
+    ResourceLimitReached warning (image.rs:62-79). The placeholder
+    machinery runs for real: ``![__img_0__](file)`` is built, then
+    resolved through replace_image_alt_by_placeholder with the
+    describer's text, the original alt on describer failure (with a
+    SkippedElement warning), or empty alt with no describer —
+    ooxml_utils.rs:148-212."""
+    from anytomd_spark.kernels.decode import (
+        RESOURCE_LIMIT_REACHED,
+        SKIPPED_ELEMENT,
+        mime_from_image,
+    )
+    from anytomd_spark.kernels.markdown import replace_image_alt_by_placeholder
+
+    warnings: list[dict] = []
+    mime = mime_from_image("image", data)
+    ext = _EXT_FROM_MIME.get(mime, "")
     filename = f"image.{ext}" if ext else "image"
-    return {
-        "markdown": f"![]({filename})\n",
-        "plain_text": "\n",
-        "title": None,
-        "warnings": [],
-    }
+
+    if len(data) > max_image_bytes:
+        warnings.append({
+            "code": RESOURCE_LIMIT_REACHED,
+            "message": (
+                f"image size ({len(data)} bytes) exceeds limit "
+                f"({max_image_bytes})"
+            ),
+            "location": filename,
+        })
+        return {"markdown": "", "plain_text": "", "title": None,
+                "warnings": warnings}
+
+    placeholder = "__img_0__"
+    markdown = f"![{placeholder}]({filename})\n"
+    plain_text = f"{placeholder}\n"
+    alt = ""
+    if describer is not None:
+        try:
+            alt = describer(
+                data, mime,
+                "Describe this image concisely for use as alt text.",
+            )
+        except Exception as e:  # noqa: BLE001 - fall back to original alt
+            warnings.append({
+                "code": SKIPPED_ELEMENT,
+                "message": f"image description failed for '{filename}': {e}",
+                "location": filename,
+            })
+            alt = ""
+    markdown = replace_image_alt_by_placeholder(
+        markdown, placeholder, alt, filename
+    )
+    plain_text = plain_text.replace(placeholder, alt, 1)
+    return {"markdown": markdown, "plain_text": plain_text, "title": None,
+            "warnings": warnings}
 
 
 def convert_bytes(
@@ -101,7 +154,7 @@ def convert_bytes(
     elif ext in ("html", "htm"):
         result = convert_html(data)
     elif sniff.detect_by_extension(ext) == "image":
-        result = _image_stub(data, ext)
+        result = convert_image(data)
     elif sniff.detect_by_extension(ext) == "txt" or ext == "txt":
         result = convert_plain_text(data)
     else:

@@ -99,9 +99,10 @@ def test_batch_image_hint_dispatch():
     assert out["error"][0] is None
     assert out["markdown"][0] == "![](image.png)\n"
     assert out["fmt"][0] == "image"
-    # junk payload with image hint: still the stub path, filename by magic
+    # junk payload with image hint: filename comes from magic ONLY
+    # (image.rs passes the literal name "image" — hints never name it)
     assert out["error"][1] is None
-    assert out["markdown"][1].startswith("![](image")
+    assert out["markdown"][1] == "![](image)\n"
 
 
 def test_batch_max_input_bytes_threaded():
@@ -124,3 +125,54 @@ def test_batch_strict_mode_threaded():
     )
     out = convert_batch(pdf, strict=True)
     assert out["error"][0] is None  # warning-free row unaffected
+
+
+class TestImageConverterParity:
+    """ImageConverter default-path parity (image.rs:41-146 + its tests)."""
+
+    PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+    JPEG = b"\xff\xd8\xff\xe0\x00\x10JF"
+
+    def test_png_no_describer(self):
+        from anytomd_spark.kernels.convert import convert_image
+        out = convert_image(self.PNG)
+        assert out["markdown"] == "![](image.png)\n"
+        assert out["plain_text"] == "\n"
+        assert out["warnings"] == []
+
+    def test_jpeg_filename(self):
+        from anytomd_spark.kernels.convert import convert_image
+        assert convert_image(self.JPEG)["markdown"] == "![](image.jpg)\n"
+
+    def test_unknown_magic_plain_filename(self):
+        from anytomd_spark.kernels.convert import convert_image
+        assert convert_image(b"not an image")["markdown"] == "![](image)\n"
+
+    def test_oversized_image_warning(self):
+        from anytomd_spark.kernels.convert import convert_image
+        out = convert_image(self.PNG, max_image_bytes=4)
+        assert out["markdown"] == "" and out["plain_text"] == ""
+        (w,) = out["warnings"]
+        assert w["code"] == "ResourceLimitReached"
+        assert "exceeds limit (4)" in w["message"]
+        assert w["location"] == "image.png"
+
+    def test_describer_sets_alt(self):
+        from anytomd_spark.kernels.convert import convert_image
+        out = convert_image(
+            self.PNG, describer=lambda d, m, p: "A tiny png"
+        )
+        assert out["markdown"] == "![A tiny png](image.png)\n"
+        assert out["plain_text"] == "A tiny png\n"
+
+    def test_describer_failure_falls_back(self):
+        from anytomd_spark.kernels.convert import convert_image
+
+        def boom(d, m, p):
+            raise RuntimeError("llm down")
+
+        out = convert_image(self.PNG, describer=boom)
+        assert out["markdown"] == "![](image.png)\n"
+        (w,) = out["warnings"]
+        assert w["code"] == "SkippedElement"
+        assert "image description failed for 'image.png'" in w["message"]
