@@ -469,11 +469,14 @@ class _EdgeParser(HTMLParser):
             self._close_up_to("tr", stop_at=("table", "thead", "tbody", "tfoot"))
         elif tag in ("thead", "tbody", "tfoot"):
             self._close_up_to("tr", stop_at=("table",))
-        if tag in _P_CLOSERS and "p" in self.stack:
-            idx = len(self.stack) - 1 - self.stack[::-1].index("p")
-            if all(t in _FORMATTING for t in self.stack[idx + 1:]):
-                while len(self.stack) > idx:
-                    self._pop_close()
+        if tag in _P_CLOSERS:
+            stack = self.stack
+            for idx in range(len(stack) - 1, -1, -1):
+                if stack[idx] == "p":
+                    if all(t in _FORMATTING for t in stack[idx + 1:]):
+                        while len(stack) > idx:
+                            self._pop_close()
+                    break
 
     def _close_up_to(self, target: str, stop_at: tuple[str, ...]) -> None:
         self._close_up_to_any((target,), stop_at)
@@ -493,8 +496,11 @@ class _EdgeParser(HTMLParser):
 
     # -- tokenizer callbacks --
 
+    _EMPTY_ATTRS: dict = {}
+
     def handle_starttag(self, tag: str, attrs: list) -> None:
-        attrs_dict = dict(attrs)
+        # walkers only read attrs; share one empty dict for the common case
+        attrs_dict = dict(attrs) if attrs else self._EMPTY_ATTRS
         if tag in VOID_ELEMENTS:
             self.walker.handle_open(tag, attrs_dict)
             self.walker.handle_close(tag)
@@ -511,10 +517,14 @@ class _EdgeParser(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
             return
-        if tag in self.stack:
-            idx = len(self.stack) - 1 - self.stack[::-1].index(tag)
-            while len(self.stack) > idx:
-                self._pop_close()
+        # scan from the top without building a reversed copy (hot path)
+        stack = self.stack
+        walker_close = self.walker.handle_close
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i] == tag:
+                while len(stack) > i:
+                    walker_close(stack.pop())
+                return
         # stray end tag with no matching open: ignored
 
     def handle_data(self, data: str) -> None:
@@ -567,17 +577,17 @@ from html import unescape as _unescape
 def _fast_feed(parser: "_EdgeParser", text: str) -> None:
     pos = 0
     n = len(text)
+    match = _TOKEN_RE.match
+    handle_data = parser.handle_data
     while pos < n:
-        m = _TOKEN_RE.match(text, pos)
+        m = match(text, pos)
         if m is None:  # pragma: no cover - the regex is total
-            parser.handle_data(text[pos])
+            handle_data(text[pos])
             pos += 1
             continue
-        token = m.group(0)
+        start = pos
         pos = m.end()
-        end_name, start_name, attrs_raw, selfclose = (
-            m.group(1), m.group(2), m.group(3), m.group(4)
-        )
+        end_name, start_name, attrs_raw, selfclose = m.group(1, 2, 3, 4)
         if start_name is not None:
             tag = start_name.lower()
             attrs = []
@@ -600,17 +610,19 @@ def _fast_feed(parser: "_EdgeParser", text: str) -> None:
                         raw = text[pos:end]
                         if tag in ("title", "textarea") and "&" in raw:
                             raw = _unescape(raw)  # RCDATA decodes charrefs
-                        parser.handle_data(raw)
+                        handle_data(raw)
                     parser.handle_endtag(tag)
                     pos = cm.end() if cm else n
         elif end_name is not None:
             parser.handle_endtag(end_name.lower())
-        elif token.startswith("<!") or token.startswith("<?"):
+        elif text[start] == "<" and pos - start >= 2 and text[start + 1] in "!?":
             continue  # comments/doctype/PI are ignored by the walker
         else:
+            # plain text run, or a lone '<' emitted as literal text
+            token = text[start:pos]
             if "&" in token:
                 token = _unescape(token)
-            parser.handle_data(token)
+            handle_data(token)
 
 
 def convert_html(data: bytes, fast: bool = True) -> dict:
