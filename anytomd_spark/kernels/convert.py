@@ -123,6 +123,7 @@ def convert_bytes(
     strict: bool = False,
     max_input_bytes: int = DEFAULT_MAX_INPUT_BYTES,
     max_zip_bytes: int = DEFAULT_MAX_ZIP_BYTES,
+    max_image_bytes: int = DEFAULT_MAX_IMAGE_BYTES,
 ) -> dict:
     """Dispatch by normalized extension; raises on unrecoverable errors."""
     ext = sniff.normalize_extension(extension)
@@ -154,7 +155,7 @@ def convert_bytes(
     elif ext in ("html", "htm"):
         result = convert_html(data)
     elif sniff.detect_by_extension(ext) == "image":
-        result = convert_image(data)
+        result = convert_image(data, max_image_bytes=max_image_bytes)
     elif sniff.detect_by_extension(ext) == "txt" or ext == "txt":
         result = convert_plain_text(data)
     else:
@@ -226,6 +227,73 @@ def convert_payload(
             "error": f"{type(e).__name__}: {e}",
             "bytes_in": bytes_in, "chars_out": 0,
         }
+
+
+def detect_format_path(path: str, header: bytes) -> str | None:
+    """detection.rs:18-48 for real files: magic -> extension -> JSON
+    heuristic. Returns "zip" for ZIP magic (caller introspects)."""
+    if len(header) >= 4:
+        if header.startswith(b"PK\x03\x04"):
+            return "zip"
+        if header.startswith(b"%PDF"):
+            return "pdf"
+    import os
+
+    ext = os.path.splitext(path)[1].lstrip(".").lower()
+    if ext:
+        by_ext = sniff.detect_by_extension(ext)
+        if by_ext is not None:
+            return by_ext
+    body = header[3:] if header.startswith(b"\xef\xbb\xbf") else header
+    for b in body:
+        if b in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+            continue
+        if b in (0x7B, 0x5B):  # { or [
+            return "json"
+        break
+    return None
+
+
+def convert_file(
+    path: str,
+    strict: bool = False,
+    max_input_bytes: int = DEFAULT_MAX_INPUT_BYTES,
+    max_zip_bytes: int = DEFAULT_MAX_ZIP_BYTES,
+    max_image_bytes: int = DEFAULT_MAX_IMAGE_BYTES,
+) -> dict:
+    """File-level conversion mirroring lib.rs convert_file (:95-139):
+    size guard, magic/extension/heuristic detection, ZIP introspection,
+    code files keep their extension for the language tag."""
+    import os
+
+    size = os.path.getsize(path)
+    if size > max_input_bytes:
+        raise InputTooLarge(
+            f"input size {size} exceeds limit {max_input_bytes}"
+        )
+    with open(path, "rb") as f:
+        data = f.read()
+
+    fmt = detect_format_path(path, data)
+    is_zip_magic = fmt == "zip"
+    if is_zip_magic:
+        fmt = sniff.detect_zip_format(data)
+
+    file_ext = os.path.splitext(path)[1].lstrip(".")
+    if fmt == "code":
+        extension = file_ext or "code"
+    elif fmt is not None:
+        extension = fmt
+    elif is_zip_magic:
+        raise MalformedDocument("unsupported format: 'zip'")
+    else:
+        extension = file_ext
+
+    return convert_bytes(
+        data, extension, strict=strict,
+        max_input_bytes=max_input_bytes, max_zip_bytes=max_zip_bytes,
+        max_image_bytes=max_image_bytes,
+    )
 
 
 class ConvertErr(Exception):
