@@ -60,7 +60,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-input-size", metavar="SIZE", default=None)
     ap.add_argument("--max-image-size", metavar="SIZE", default=None)
     ap.add_argument("--max-zip-size", metavar="SIZE", default=None)
+    ap.add_argument("--gemini", action="store_true",
+                    help="use Gemini for image descriptions "
+                         "(requires GEMINI_API_KEY)")
+    ap.add_argument("--gemini-model", metavar="MODEL", default=None)
     args = ap.parse_args(argv)
+
+    if args.gemini_model and not args.gemini:
+        ap.error("--gemini-model requires --gemini")
+    if args.gemini:
+        # flag parity with runner.rs:128-137 — from_env fails -> exit 2;
+        # this build additionally has no network path to the API
+        import os
+        if not os.environ.get("GEMINI_API_KEY"):
+            print("error: --gemini: GEMINI_API_KEY not set", file=sys.stderr)
+            return 2
+        print("error: --gemini: image description is not available in the "
+              "Spark build (no network); run the describer on-cluster via "
+              "convert_image(describer=...)", file=sys.stderr)
+        return 2
 
     max_input = _size(ap, "--max-input-size", args.max_input_size, 8 << 30)
     max_image = _size(ap, "--max-image-size", args.max_image_size, 4 << 30)

@@ -147,3 +147,65 @@ class TestConvertFile:
         p = tmp_path / "script.py"
         p.write_text("print('hi')\n")
         assert "```python" in convert_file(str(p))["markdown"]
+
+
+class TestCliPortedIntegration:
+    """Port of /root/reference/tests/test_cli.rs expectations."""
+
+    def test_stdin_uppercase_format(self):
+        code, out, _ = run_cli(["--format", "TXT"], stdin=b"hello world")
+        assert code == 0 and "hello world" in out
+
+    def test_stdin_dotted_format(self):
+        code, out, _ = run_cli(["--format", ".txt"], stdin=b"hello world")
+        assert code == 0 and "hello world" in out
+
+    def test_stdin_csv_format(self):
+        code, out, _ = run_cli(["--format", "csv"],
+                               stdin=b"Name,Age\nAlice,30\n")
+        assert code == 0
+        assert "Alice" in out and "| Name | Age |" in out
+
+    def test_stdin_json_utf16_bom(self):
+        payload = b"\xff\xfe" + '{"k":1}\n'.encode("utf-16-le")
+        code, out, _ = run_cli(["--format", "json"], stdin=payload)
+        assert code == 0 and '"k"' in out
+
+    def test_strict_fails_on_warning(self):
+        code, _, err = run_cli(["--strict", "--format", "txt"],
+                               stdin=b"\xe9")
+        assert code == 1 and "strict mode" in err
+
+    def test_strict_clean_file_succeeds(self, files):
+        code, out, _ = run_cli(["--strict", str(files / "a.csv")])
+        assert code == 0 and "| x | y |" in out
+
+    def test_max_input_size_rejects_large(self, files):
+        code, _, err = run_cli(
+            ["--max-input-size", "1B", str(files / "a.csv")]
+        )
+        assert code == 1 and "error:" in err
+
+    def test_max_input_size_accepts_valid(self, files):
+        code, out, _ = run_cli(
+            ["--max-input-size", "1GiB", str(files / "a.csv")]
+        )
+        assert code == 0 and "| x | y |" in out
+
+    def test_max_image_and_zip_size_accepted(self, files):
+        code, _, _ = run_cli(
+            ["--max-image-size", "100MB", "--max-zip-size", "2GiB",
+             str(files / "a.csv")]
+        )
+        assert code == 0
+
+    def test_gemini_without_api_key_exit_2(self, files, monkeypatch):
+        monkeypatch.delenv("GEMINI_API_KEY", raising=False)
+        code, _, err = run_cli(["--gemini", str(files / "a.csv")])
+        assert code == 2 and "--gemini" in err
+
+    def test_gemini_model_requires_gemini(self, files):
+        code, _, err = run_cli(
+            ["--gemini-model", "some-model", str(files / "a.csv")]
+        )
+        assert code == 2
