@@ -23,6 +23,7 @@ from anytomd_spark.derive import (
     SQL_BYTES_IN,
     SQL_FMT,
     SQL_MARKDOWN,
+    SQL_PAYLOAD,
     documents_transcripts,
 )
 from anytomd_spark.pipeline import convert_transcripts, ordered_output
@@ -251,6 +252,51 @@ def _q_dedup_lsh_bucket_stats(spark, sf):
     return DD.lsh_bucket_stats(docs, num_hashes=16, bands=4)
 
 
+def _q_stream_stateful_dedup(spark, sf):
+    """Structured Streaming stateful dedup (applyInPandasWithState) run as
+    an availableNow catch-up over the derived transcripts plus seeded
+    duplicate turns (each conversation's turn 0 re-sent as turn 5).
+    Deterministic -> value-level SQL oracle: is_dup is a window over
+    (conv_id, payload), n_seen a row_number over turn order."""
+    import os
+    import tempfile
+
+    from anytomd_spark.streaming import (
+        read_transcripts_stream,
+        stateful_turn_dedup,
+    )
+
+    base = tempfile.mkdtemp(prefix="anytomd_stream_q_")
+    inp = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+
+    t = documents_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    dups = t.filter(F.col("turn_idx") == 0).withColumn(
+        "turn_idx", F.lit(5).cast("int")
+    )
+    # one file -> one micro-batch, so within-conversation turn order is
+    # the only ordering the operator needs (it sorts per group anyway)
+    t.union(dups).coalesce(1).write.mode("overwrite").parquet(inp)
+
+    q = (
+        stateful_turn_dedup(read_transcripts_stream(spark, inp))
+        .writeStream.foreachBatch(
+            lambda df, _e: df.write.mode("append").parquet(sink)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink).select(
+        "conv_id", "turn_idx", "content_md5", "is_dup", "n_seen"
+    )
+
+
 def _q_media_features(spark, sf):
     from anytomd_spark.analysis.multimodal import extract_features, synthesize_media
 
@@ -302,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         # multimodal plumbing
         "media_features": _q_media_features,
+        # structured streaming (stateful operator, driver-visible)
+        "stream_stateful_dedup": _q_stream_stateful_dedup,
     }
 
 
@@ -613,6 +661,25 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END), 6) AS avg_token_len,
                    sum(stop_hits)::bigint AS stopword_hits
             FROM scored GROUP BY source
+        """,
+        "stream_stateful_dedup": f"""
+            WITH t AS (
+                SELECT 'doc-conv-' || lpad((doc_id // 5)::varchar, 6, '0')
+                           AS conv_id,
+                       (doc_id % 5)::int AS turn_idx,
+                       {SQL_PAYLOAD} AS payload
+                FROM documents
+                UNION ALL
+                SELECT 'doc-conv-' || lpad((doc_id // 5)::varchar, 6, '0'),
+                       5, {SQL_PAYLOAD}
+                FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT conv_id, turn_idx, md5(payload) AS content_md5,
+                   (row_number() OVER (PARTITION BY conv_id, payload
+                                       ORDER BY turn_idx) > 1) AS is_dup,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx)::bigint AS n_seen
+            FROM t
         """,
         "text_langid": _langid_oracle(),
         "media_features": _media_oracle(),

@@ -51,3 +51,93 @@ def test_streaming_conversion_and_resume(spark, tmp_path):
     row = got2.filter("turn_idx = 0").collect()[0]
     with open(os.path.join(FIXTURES, "expected", "sample.html.md")) as f:
         assert normalize(row.markdown) == normalize(f.read())
+
+
+def test_stateful_turn_dedup_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-conversation exact dedup whose state
+    (bounded hash window + counters) persists across availableNow
+    restarts via the checkpoint."""
+    from anytomd_spark.streaming import (
+        read_transcripts_stream,
+        stateful_turn_dedup,
+    )
+    from anytomd_spark.transcripts import TRANSCRIPTS_SCHEMA
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    import pandas as pd
+    rows1 = pd.DataFrame(
+        [("c1", 0, "user", "hello", "txt", None),
+         ("c1", 1, "user", "world", "txt", None),
+         ("c1", 2, "user", "hello", "txt", None),   # dup of turn 0
+         ("c2", 0, "user", "hello", "txt", None)],  # NOT a dup (other conv)
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    spark.createDataFrame(rows1, schema=TRANSCRIPTS_SCHEMA).write.mode(
+        "append").parquet(inp)
+
+    sink = str(tmp_path / "sink")
+
+    def run_pass(name):
+        # foreachBatch sink: supports update output AND checkpoint recovery
+        deduped = stateful_turn_dedup(read_transcripts_stream(spark, inp))
+        q = (deduped.writeStream.foreachBatch(
+                lambda df, _epoch: df.write.mode("append").parquet(sink))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r.conv_id, r.turn_idx): r
+                for r in spark.read.parquet(sink).collect()}
+
+    got = run_pass("dedup_pass1")
+    assert got[("c1", 0)].is_dup is False
+    assert got[("c1", 1)].is_dup is False
+    assert got[("c1", 2)].is_dup is True      # same conv, same text
+    assert got[("c2", 0)].is_dup is False     # state is per-conversation
+
+    # restart with MORE data: state must survive the checkpoint
+    rows2 = pd.DataFrame(
+        [("c1", 3, "user", "world", "txt", None),   # dup vs pass-1 state
+         ("c1", 4, "user", "fresh", "txt", None)],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    spark.createDataFrame(rows2, schema=TRANSCRIPTS_SCHEMA).write.mode(
+        "append").parquet(inp)
+    got2 = run_pass("dedup_pass2")
+    assert got2[("c1", 3)].is_dup is True     # remembered across restart
+    assert got2[("c1", 4)].is_dup is False
+    assert got2[("c1", 4)].n_seen == 5        # counters persisted too
+
+
+def test_stateful_dedup_bounded_state(spark, tmp_path):
+    """FIFO eviction keeps per-conv state bounded: after the window rolls
+    past an old hash, its text is no longer treated as a duplicate."""
+    from anytomd_spark.streaming import (
+        read_transcripts_stream,
+        stateful_turn_dedup,
+    )
+    from anytomd_spark.transcripts import TRANSCRIPTS_SCHEMA
+    import pandas as pd
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [("c", i, "user", f"text-{i}", "txt", None) for i in range(4)]
+    rows.append(("c", 4, "user", "text-0", "txt", None))  # evicted by then
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA).write.mode(
+        "append").parquet(inp)
+
+    deduped = stateful_turn_dedup(
+        read_transcripts_stream(spark, inp), max_hashes_per_conv=2)
+    q = (deduped.writeStream.format("memory").queryName("dedup_bounded")
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.turn_idx: r for r in
+           spark.sql("select * from dedup_bounded").collect()}
+    # only 2 hashes retained -> text-0 was evicted before turn 4 arrived
+    assert got[4].is_dup is False
+    assert got[4].n_seen == 5
