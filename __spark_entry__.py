@@ -135,6 +135,15 @@ def _q_sim_ann_lsh(spark, sf):
     )
 
 
+def _q_sim_ann_ivf(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.ivf_ann_topk(emb, queries, k=3, n_clusters=8, n_probe=3)
+    return out.select(
+        "query_id", "cand_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
 def _q_sim_embedding_near_dups(spark, sf):
     """Near-dup detection needs near-dups: augment the corpus with exact
     copies of vec_id < 10 (id-offset). Identical vectors share an SRP
@@ -335,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity family
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ann_lsh": _q_sim_ann_lsh,
+        "sim_ann_ivf": _q_sim_ann_ivf,
         "sim_embedding_near_dups": _q_sim_embedding_near_dups,
         # text analysis family
         "text_token_stats": _q_text_token_stats,
@@ -450,6 +460,71 @@ def _langid_oracle() -> str:
             FROM documents
         )
         SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred
+    """
+
+
+def _ivf_oracle(n_clusters: int = 8, n_probe: int = 3, k: int = 3,
+                train_sample: int = 4096, seed: int = 11,
+                sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB twin of SIM.ivf_ann_topk: the k-means centroids are a
+    deterministic function of the (sorted, bounded) training sample, so
+    this regenerates them from the same sf0.01 parquet the driver's
+    correctness pass reads and emits them as SQL literals — cluster
+    assignment, probe ranking, and re-ranking all recomputed in SQL."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from anytomd_spark.analysis.similarity import ivf_centroids
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    pdf = tbl.to_pandas().sort_values("vec_id").head(train_sample)
+    vectors = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+    )
+    cents = ivf_centroids(vectors, n_clusters=n_clusters, seed=seed)
+
+    def dist(c) -> str:
+        arr = "[" + ",".join(repr(float(x)) for x in c) + "]"
+        c2 = repr(float((c * c).sum()))
+        return (f"({c2} - 2 * list_inner_product(embedding::double[], "
+                f"{arr}::double[]))")
+
+    dist_list = "[" + ", ".join(dist(c) for c in cents) + "]"
+    probe_items = ", ".join(
+        f"struct_pack(cluster := {ci + 1}, dist := {dist(c)})"
+        for ci, c in enumerate(cents)
+    )
+    return f"""
+        WITH cand AS (
+            SELECT vec_id, embedding,
+                   list_indexof(dl, list_min(dl)) AS cluster
+            FROM (SELECT vec_id, embedding, {dist_list} AS dl
+                  FROM embeddings)
+        ), q_dists AS (
+            SELECT vec_id AS query_id,
+                   UNNEST([{probe_items}]) AS u
+            FROM embeddings WHERE vec_id < 5
+        ), probes AS (
+            SELECT query_id, (u).cluster AS cluster,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY (u).dist ASC,
+                                               (u).cluster ASC) AS r
+            FROM q_dists
+        ), scored AS (
+            SELECT p.query_id, c.vec_id AS cand_id,
+                   list_cosine_similarity(qe.embedding::double[],
+                                          c.embedding::double[]) AS raw
+            FROM probes p
+            JOIN cand c ON c.cluster = p.cluster AND c.vec_id != p.query_id
+            JOIN embeddings qe ON qe.vec_id = p.query_id
+            WHERE p.r <= {n_probe}
+        )
+        SELECT query_id, cand_id, round(raw, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY raw DESC, cand_id) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
     """
 
 
@@ -613,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
                   / len(list_distinct(a.s || b.s)) >= 0.5
         """,
         "sim_ann_lsh": _ann_lsh_oracle(),
+        "sim_ann_ivf": _ivf_oracle(),
         "sim_embedding_near_dups": """
             WITH aug AS (
                 SELECT vec_id, embedding FROM embeddings

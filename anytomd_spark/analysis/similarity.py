@@ -154,6 +154,112 @@ def lsh_ann_topk(
     )
 
 
+def ivf_centroids(
+    vectors: "np.ndarray",
+    n_clusters: int = 16,
+    n_iters: int = 10,
+    seed: int = 11,
+) -> "np.ndarray":
+    """Deterministic Lloyd k-means over a bounded sample (numpy, seeded).
+
+    Runs driver-side on at most a few thousand sampled vectors — the
+    standard IVF training step; at 100 TB the sample is still tiny and
+    the centroid table broadcasts as literals."""
+    rng = np.random.default_rng(seed)
+    n = len(vectors)
+    cents = vectors[rng.choice(n, size=min(n_clusters, n), replace=False)]
+    for _ in range(n_iters):
+        d2 = ((vectors[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.empty_like(cents)
+        for c in range(len(cents)):
+            members = vectors[assign == c]
+            new[c] = members.mean(axis=0) if len(members) else cents[c]
+        if np.allclose(new, cents):
+            cents = new
+            break
+        cents = new
+    return cents
+
+
+def _cluster_expr(vec_col, cents: "np.ndarray"):
+    """1-based index of the nearest centroid, as column expressions:
+    argmin over ||v||^2 - 2 v.c + ||c||^2 (the ||v||^2 term is common to
+    all clusters and dropped)."""
+    dists = []
+    for c in cents:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        c2 = float((c * c).sum())
+        dists.append(F.lit(c2) - 2.0 * _dot(vec_col, lit))
+    arr = F.array(*dists)
+    return F.array_position(arr, F.array_min(arr))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer partitions the
+    corpus into inverted lists; each query probes its ``n_probe``
+    nearest lists and exact cosine re-ranks the candidates.
+
+    Scale shape: assignment is map-side expression work; the only
+    shuffle is the candidate join keyed by cluster id (fan-in bounded by
+    corpus/n_clusters x n_probe). Centroids are trained on a bounded,
+    deterministic sample (lowest ids) so runs are reproducible."""
+    spark = corpus.sparkSession
+    sample = (
+        corpus.orderBy(id_col).limit(train_sample)
+        .select(vec_col).toPandas()[vec_col]
+    )
+    vectors = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
+    cents = ivf_centroids(vectors, n_clusters=n_clusters, seed=seed)
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"),
+        _cluster_expr(F.col(vec_col), cents).alias("cluster"),
+    )
+    # per query: rank all clusters by distance, keep the n_probe nearest
+    q_dists = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(ci + 1).alias("cluster"),
+                (F.lit(float((c * c).sum()))
+                 - 2.0 * _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                 ).alias("dist"),
+            )
+            for ci, c in enumerate(cents)
+        ])).alias("cd"),
+    ).select("query_id", "query_vec", "cd.cluster", "cd.dist")
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    probes = (
+        q_dists.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "query_vec", "cluster")
+    )
+    scored = (
+        c_assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id",
+            cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -161,3 +161,50 @@ def test_multimodal_features(spark):
     # determinism: same payload -> same features
     feats2 = {r.media_id: r.features for r in extract_features(media, dim=8).collect()}
     assert feats2[0] == list(by_id[0].features)
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # clustered corpus: 4 gaussian blobs -> IVF's natural shape
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = np.concatenate([
+        centers[i % 4] + 0.3 * rng.standard_normal(16) for i in range(80)
+    ]).reshape(80, 16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 3)
+
+    exact = {
+        r.query_id: r.cand_id
+        for r in SIM.brute_force_topk(emb, q, k=1).collect()
+    }
+    approx = SIM.ivf_ann_topk(emb, q, k=1, n_clusters=4, n_probe=2).collect()
+    got = {r.query_id: r.cand_id for r in approx}
+    # blob-local neighbors live in the probed lists: expect exact top-1
+    assert got == exact
+
+    # deterministic: a second run returns identical rows
+    again = {
+        (r.query_id, r.cand_id, round(r.cos_sim, 9))
+        for r in SIM.ivf_ann_topk(emb, q, k=1, n_clusters=4,
+                                  n_probe=2).collect()
+    }
+    first = {
+        (r.query_id, r.cand_id, round(r.cos_sim, 9)) for r in approx
+    }
+    assert again == first
+
+
+def test_ivf_centroids_deterministic():
+    import numpy as np
+
+    from anytomd_spark.analysis.similarity import ivf_centroids
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((200, 8))
+    a = ivf_centroids(v, n_clusters=5, seed=3)
+    b = ivf_centroids(v.copy(), n_clusters=5, seed=3)
+    assert np.array_equal(a, b)
+    assert a.shape == (5, 8)
