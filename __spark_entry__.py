@@ -162,13 +162,26 @@ def _q_sim_embedding_near_dups(spark, sf):
 def _q_text_token_stats(spark, sf):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return (
-        docs.select("lang", TQ.token_count("text").alias("n_tokens"))
+        docs.select(
+            "lang",
+            TQ.token_count("text").alias("n_tokens"),
+            TQ.bpe_ish_token_count("text").alias("n_subtokens"),
+        )
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.sum("n_subtokens").alias("total_subtokens"),
         )
+    )
+
+
+def _q_text_quality_filter(spark, sf):
+    """Documents surviving the quality gate (min tokens + punct ceiling)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return TQ.quality_filter(docs, min_tokens=5, max_punct_ratio=0.3).select(
+        "doc_id"
     )
 
 
@@ -349,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis family
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
+        "text_quality_filter": _q_text_quality_filter,
         "text_langid": _q_text_langid,
         "text_fingerprints": _q_text_fingerprints,
         # relational operator competence
@@ -615,8 +629,27 @@ def oracle_sql() -> dict[str, str]:
                        AS total_tokens,
                    round(avg(array_length(
                        regexp_split_to_array(trim(text), '\\s+'))), 6)
-                       AS avg_tokens
+                       AS avg_tokens,
+                   sum(len(regexp_extract_all(text,
+                       '[A-Za-zÀ-ɏ]+|[0-9]+|[^\\sA-Za-z0-9À-ɏ]')))::bigint
+                       AS total_subtokens
             FROM documents GROUP BY lang
+        """,
+        "text_quality_filter": """
+            WITH scored AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                trim(text), '\\s+')) END AS n_tok,
+                       CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text,
+                                '[^!-/:-@\\[-`{-~]', '', 'g'))::double
+                                 / length(text)
+                            ELSE 0 END AS punct_ratio
+                FROM documents
+            )
+            SELECT doc_id FROM scored
+            WHERE n_tok >= 5 AND punct_ratio <= 0.3
         """,
         "rel_agg_lineitem": """
             SELECT l_returnflag, l_linestatus,

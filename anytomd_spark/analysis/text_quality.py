@@ -31,15 +31,14 @@ def token_count(text_col="text"):
 
 def bpe_ish_token_count(text_col="text"):
     """Sub-word-ish token count: split on word/number/punct boundaries with
-    a BPE-style regex (letters runs, digit runs, single punct)."""
+    a BPE-style regex (letters runs, digit runs, single punct).
+
+    Always built through the Column API: routing the pattern through an
+    F.expr SQL string would eat the ``\\s`` escape in the SQL literal and
+    silently count whitespace as punctuation tokens."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     pattern = r"[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-z0-9À-ɏ]"
-    return F.size(F.expr(
-        f"regexp_extract_all({text_col if isinstance(text_col, str) else '_'},"
-        f" '{pattern}', 0)"
-    )) if isinstance(text_col, str) else F.size(
-        F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
-    )
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
 
 
 def _ratio(sub_len, total_len):
