@@ -167,3 +167,87 @@ class TestFastTokenizerDifferential:
     def test_fast_never_panics(self, s):
         out = convert_html(s.encode("utf-8"), fast=True)
         assert out["markdown"] == "" or out["markdown"].endswith("\n")
+
+
+class TestWinnowBitParity:
+    """The numpy-vectorized winnowing hash must stay bit-identical to the
+    original per-character rolling-hash formulation (the spec)."""
+
+    @staticmethod
+    def _fp_reference(text: str) -> int:
+        K, W, MOD, BASE = 8, 4, (1 << 61) - 1, 257
+        s = text.lower()
+        n = len(s)
+        if n < K:
+            h = 0
+            for ch in s:
+                h = (h * BASE + ord(ch)) % MOD
+            return h
+        hashes = []
+        h = 0
+        power = pow(BASE, K - 1, MOD)
+        for i, ch in enumerate(s):
+            h = (h * BASE + ord(ch)) % MOD
+            if i >= K - 1:
+                hashes.append(h)
+                h = (h - ord(s[i - K + 1]) * power) % MOD
+        out = 0
+        for i in range(0, max(1, len(hashes) - W + 1), W):
+            out ^= min(hashes[i: i + W])
+        return out - (1 << 63) if out >= (1 << 63) else out
+
+    @staticmethod
+    def _fp_vectorized(text: str) -> int:
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        from anytomd_spark.analysis.text_quality import _WIN_W, _poly_hashes
+
+        s = text.lower()
+        if not s:
+            return 0
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        hashes = _poly_hashes(codes)
+        if len(hashes) <= _WIN_W:
+            return int(hashes.min())
+        mins = sliding_window_view(hashes, _WIN_W)[::_WIN_W].min(axis=1)
+        return int(__import__("numpy").bitwise_xor.reduce(mins))
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def test_parity(self, text):
+        assert self._fp_vectorized(text) == self._fp_reference(text)
+
+    def test_parity_boundary_lengths(self):
+        for n in range(0, 20):
+            t = "abcdefghij"[: n % 11] * (n // 10 + 1)
+            t = t[:n]
+            assert self._fp_vectorized(t) == self._fp_reference(t), n
+
+
+class TestSimhashKernelParity:
+    """The Arrow numpy bit-majority must match the pure-JVM fold spec:
+    bit b set iff 2 * count_of_set_bits_b > n_tokens."""
+
+    @given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                    max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_parity(self, hashes):
+        import pandas as pd
+
+        from anytomd_spark.analysis._simhash_udf import simhash_from_hashes
+
+        # reference formulation in plain Python ints
+        sig = 0
+        n = len(hashes)
+        for b in range(64):
+            count = sum(((h >> b) & 1) if h >= 0 else
+                        (((h + (1 << 64)) >> b) & 1) for h in hashes)
+            if 2 * count > n:
+                sig |= 1 << b
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+
+        fn = simhash_from_hashes.func  # unwrap the pandas_udf
+        got = fn(pd.Series([hashes])).iloc[0]
+        assert int(got) == sig
