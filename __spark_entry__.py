@@ -454,24 +454,49 @@ _LANGID_THRESH = 0.05
 
 
 def _langid_oracle() -> str:
-    """Same unicode-script-ratio classifier as TQ.lang_id, in DuckDB RE2."""
+    """Same two-stage classifier as TQ.lang_id in DuckDB: script ratios,
+    then distinctive-stopword hit counts with identical tie precedence."""
+    from anytomd_spark.analysis.text_quality import LATIN_PROFILES
+
     def ratio(cls: str) -> str:
         return (
             f"length(regexp_replace(text, '[^{cls}]', '', 'g'))::double"
             " / greatest(length(text), 1)"
         )
 
+    def hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in LATIN_PROFILES[lang])
+        return (
+            "len(list_intersect(list_distinct(regexp_split_to_array("
+            f"trim(lower(text)), '\\s+')), [{words}]))"
+        )
+
     return f"""
-        WITH p AS (
+        WITH h AS (
+            SELECT lang,
+                   {ratio('가-힯ᄀ-ᇿ')} AS r_ko,
+                   {ratio('぀-ヿ')} AS r_ja,
+                   {ratio('一-鿿')} AS r_zh,
+                   {ratio('Ѐ-ӿ')} AS r_ru,
+                   {hits('de')} AS h_de,
+                   {hits('fr')} AS h_fr,
+                   {hits('es')} AS h_es,
+                   {hits('en')} AS h_en
+            FROM documents
+        ), p AS (
             SELECT lang,
                    CASE
-                     WHEN {ratio('가-힯ᄀ-ᇿ')} > {_LANGID_THRESH} THEN 'ko'
-                     WHEN {ratio('぀-ヿ')} > {_LANGID_THRESH} THEN 'ja'
-                     WHEN {ratio('一-鿿')} > {_LANGID_THRESH} THEN 'zh'
-                     WHEN {ratio('Ѐ-ӿ')} > {_LANGID_THRESH} THEN 'ru'
+                     WHEN r_ko > {_LANGID_THRESH} THEN 'ko'
+                     WHEN r_ja > {_LANGID_THRESH} THEN 'ja'
+                     WHEN r_zh > {_LANGID_THRESH} THEN 'zh'
+                     WHEN r_ru > {_LANGID_THRESH} THEN 'ru'
+                     WHEN h_de > h_en AND h_de >= h_fr AND h_de >= h_es
+                          THEN 'de'
+                     WHEN h_fr > h_en AND h_fr >= h_es THEN 'fr'
+                     WHEN h_es > h_en THEN 'es'
                      ELSE 'en'
                    END AS lang_pred
-            FROM documents
+            FROM h
         )
         SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred
     """

@@ -78,22 +78,53 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     )
 
 
+# Distinctive function words per latin-script language: each list avoids
+# words shared with the others, so hit counts discriminate (the classic
+# stopword-profile shortcut for an n-gram language model).
+LATIN_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "mit", "für", "auf", "sich", "aber", "auch", "wird"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "que", "qui",
+           "pour", "avec", "sur", "pas", "mais", "vous", "nous"),
+    "es": ("el", "los", "las", "es", "una", "que", "para", "con",
+           "por", "del", "como", "pero", "más", "este", "muy"),
+    "en": ("the", "and", "is", "of", "to", "in", "that", "with",
+           "for", "this", "are", "was", "not", "have", "from"),
+}
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Script-ratio language heuristic: hangul -> ko, han -> zh, kana -> ja,
-    cyrillic -> ru, else en. (n-gram-free but vectorized and deterministic;
-    a unicode-range classifier in the spirit of the reference's per-format
-    sniffing — the documents table carries ground truth in ``lang``.)"""
+    """Language heuristic, vectorized and deterministic.
+
+    Two stages: unicode-script ratios decide the non-latin scripts
+    (hangul -> ko, kana -> ja, han -> zh, cyrillic -> ru); latin-script
+    text is then classified by distinctive-function-word hit counts
+    (de/fr/es vs the en default) — the stopword-profile shortcut for an
+    n-gram model, expressed entirely in built-in column functions so
+    the DuckDB oracle can recompute it verbatim."""
     c = F.col(text_col)
     total = F.greatest(F.length(c), F.lit(1))
     hangul = F.length(F.regexp_replace(c, r"[^가-힯ᄀ-ᇿ]", ""))
     han = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
     kana = F.length(F.regexp_replace(c, r"[^぀-ヿ]", ""))
     cyr = F.length(F.regexp_replace(c, r"[^Ѐ-ӿ]", ""))
+
+    tokens = F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))
+
+    def hits(lang: str):
+        prof = F.array(*[F.lit(w) for w in LATIN_PROFILES[lang]])
+        return F.size(F.array_intersect(tokens, prof))
+
+    h_de, h_fr, h_es, h_en = hits("de"), hits("fr"), hits("es"), hits("en")
     pred = (
         F.when(hangul / total > 0.05, F.lit("ko"))
         .when(kana / total > 0.05, F.lit("ja"))
         .when(han / total > 0.05, F.lit("zh"))
         .when(cyr / total > 0.05, F.lit("ru"))
+        # fixed precedence on ties keeps Spark and the SQL oracle aligned
+        .when((h_de > h_en) & (h_de >= h_fr) & (h_de >= h_es), F.lit("de"))
+        .when((h_fr > h_en) & (h_fr >= h_es), F.lit("fr"))
+        .when(h_es > h_en, F.lit("es"))
         .otherwise(F.lit("en"))
     )
     return docs.withColumn("lang_pred", pred)

@@ -208,3 +208,22 @@ def test_ivf_centroids_deterministic():
     b = ivf_centroids(v.copy(), n_clusters=5, seed=3)
     assert np.array_equal(a, b)
     assert a.shape == (5, 8)
+
+
+def test_lang_id_latin_discrimination(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "The cat sat on the mat and it was not very happy with this."),
+            (1, "Der Hund ist nicht mit der Katze auf das Sofa gesprungen und"
+                " wird auch nicht."),
+            (2, "Les enfants sont dans le jardin avec les fleurs pour vous et"
+                " nous, mais pas que."),
+            (3, "Los niños juegan en el parque con las flores para este día,"
+                " pero más tarde."),
+            (4, "한국어 문장입니다 완전히"),
+            (5, "これは日本語のテキストです"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in TQ.lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "ko", 5: "ja"}
