@@ -328,6 +328,19 @@ def _q_media_features(spark, sf):
     )
 
 
+def _q_media_frames(spark, sf):
+    """Frame sampling over the video rows (one-to-many mapInPandas):
+    Spark hashes each emitted frame JVM-side (sha2), the oracle embeds
+    the deterministic frame payloads and hashes them in DuckDB."""
+    from anytomd_spark.analysis.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, n=48)
+    return sample_frames(media, every_ms=250).select(
+        "media_id", "frame_idx", "ts_ms", "n_bytes",
+        F.sha2(F.col("frame"), 256).alias("sha256"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # conversion pipeline (SURVEY §2.1-2.4)
@@ -372,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         # structured streaming (stateful operator, driver-visible)
         "stream_stateful_dedup": _q_stream_stateful_dedup,
     }
@@ -564,6 +578,27 @@ def _ivf_oracle(n_clusters: int = 8, n_probe: int = 3, k: int = 3,
                                   ORDER BY raw DESC, cand_id) AS rank
         FROM scored
         QUALIFY rank <= {k}
+    """
+
+
+def _media_frames_oracle(n: int = 48, every_ms: int = 250) -> str:
+    """DuckDB twin of _q_media_frames: same deterministic frame bytes as
+    VALUES literals, length and sha256 recomputed by DuckDB."""
+    from anytomd_spark.analysis.multimodal import _fake_frame, media_payloads
+
+    values = []
+    for i, kind, payload in media_payloads(n):
+        if kind != "video":
+            continue
+        for fi in range(max(1, 1000 // every_ms)):
+            frame = _fake_frame(payload, fi).decode("ascii")
+            values.append(f"({i}, {fi}, {fi * every_ms}, '{frame}')")
+    rows = ",\n".join(values)
+    return f"""
+        SELECT media_id::bigint AS media_id, frame_idx::int AS frame_idx,
+               ts_ms::int AS ts_ms, length(frame)::bigint AS n_bytes,
+               sha256(frame) AS sha256
+        FROM (VALUES {rows}) AS t(media_id, frame_idx, ts_ms, frame)
     """
 
 
@@ -817,6 +852,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_langid": _langid_oracle(),
         "media_features": _media_oracle(),
+        "media_frames": _media_frames_oracle(),
         # fingerprints / minhash / simhash / lsh-bucket-stats: engine-
         # specific hash (xxhash64) -> rows-only checks (documented weaker
         # gate); minhash/simhash get empirical-equivalence oracles below

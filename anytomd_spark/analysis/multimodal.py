@@ -83,6 +83,102 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>"
+)
+
+FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms int, frame binary, n_bytes long"
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode->resize->encode (no PIL in this
+    container): derives width*height/16 printable bytes from the payload
+    hash. Swap for a real resampler on a cluster with imaging libs; the
+    Spark plumbing (binary in/out, meta rewrite, Arrow batching) is what
+    this module actually exercises."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed ^ (width << 16) ^ height)
+    idx = rng.integers(0, 62, size=max(16, width * height // 16))
+    return "".join(_B62[j] for j in idx).encode("ascii")
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize every image row (other kinds pass through untouched),
+    Arrow batch at a time; meta.width/height reflect the new size."""
+
+    def run(iterator):
+        for pdf in iterator:
+            out = pdf.copy()
+            payloads, metas = [], []
+            for kind, payload, meta in zip(
+                out["kind"], out["payload"], out["meta"]
+            ):
+                if kind != "image":
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                data = bytes(payload) if payload is not None else b""
+                if FAKE_DECODE:
+                    resized = _fake_resize(data, width, height)
+                else:  # pragma: no cover - needs PIL
+                    resized = _real_decode(data, kind)
+                meta = dict(meta or {})
+                meta["width"], meta["height"] = width, height
+                payloads.append(bytearray(resized))
+                metas.append(meta)
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Video rows -> one output row per sampled frame at ``every_ms``
+    intervals across meta.duration_ms (non-video rows emit nothing).
+    Frame extraction itself is the deterministic fake; the exploded
+    one-to-many Arrow batch shape is the real contract."""
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = []
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "video":
+                    continue
+                duration = int((meta or {}).get("duration_ms") or 0)
+                data = bytes(payload) if payload is not None else b""
+                n_frames = max(1, duration // every_ms)
+                for i in range(n_frames):
+                    ts = i * every_ms
+                    if FAKE_DECODE:
+                        frame = _fake_frame(data, i)
+                    else:  # pragma: no cover - needs ffmpeg
+                        frame = _real_decode(data, kind)
+                    rows.append((
+                        int(media_id), i, ts, bytearray(frame), len(frame)
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "ts_ms", "frame",
+                         "n_bytes"],
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def _fake_frame(payload: bytes, frame_idx: int) -> bytes:
+    """Deterministic printable frame bytes derived from (payload, idx)."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed + frame_idx)
+    idx = rng.integers(0, 62, size=48)
+    return "".join(_B62[j] for j in idx).encode("ascii")
+
+
 _B62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 
 

@@ -227,3 +227,40 @@ def test_lang_id_latin_discrimination(spark):
     )
     got = {r.doc_id: r.lang_pred for r in TQ.lang_id(df).collect()}
     assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "ko", 5: "ja"}
+
+
+def test_multimodal_resize_and_frames(spark):
+    from anytomd_spark.analysis.multimodal import (
+        resize_images,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=12)
+    resized = resize_images(media, width=16, height=16)
+    rows = {r.media_id: r for r in resized.collect()}
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        if r.kind == "image":
+            assert r.meta.width == 16 and r.meta.height == 16
+        else:
+            # non-image rows pass through untouched
+            orig = {x.media_id: x for x in media.collect()}[mid]
+            assert bytes(r.payload) == bytes(orig.payload)
+
+    # deterministic: same input -> same resized bytes
+    again = {r.media_id: bytes(r.payload)
+             for r in resize_images(media, width=16, height=16).collect()}
+    assert again == {m: bytes(r.payload) for m, r in rows.items()}
+
+    frames = sample_frames(media, every_ms=250).collect()
+    vids = [r for r in media.collect() if r.kind == "video"]
+    assert len(frames) == 4 * len(vids)  # 1000ms / 250ms
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f.media_id, []).append(f)
+    for mid, fs in by_media.items():
+        idxs = sorted(f.frame_idx for f in fs)
+        assert idxs == [0, 1, 2, 3]
+        assert {f.ts_ms for f in fs} == {0, 250, 500, 750}
+        assert all(f.n_bytes == len(bytes(f.frame)) for f in fs)
