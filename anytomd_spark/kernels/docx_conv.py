@@ -559,12 +559,28 @@ def _finalize_paragraph(
         plain_out.append("\n\n")
 
 
-def convert_docx(data: bytes, max_uncompressed_zip_bytes: int = 16 << 30) -> dict:
-    """Convert DOCX bytes (docx.rs convert_inner :1162-1260, no images)."""
+def convert_docx(
+    data: bytes,
+    max_uncompressed_zip_bytes: int = 16 << 30,
+    extract_images: bool = False,
+    describer=None,
+    max_image_bytes: int = 4 << 30,
+) -> dict:
+    """Convert DOCX bytes (docx.rs convert_inner :1162-1260).
+
+    ``extract_images``/``describer`` mirror ConversionOptions: image
+    bytes are read from the package (budgeted) when either is set; the
+    describer replaces placeholder alts, and ``images`` carries
+    (filename, bytes) pairs when extraction is on."""
+    from anytomd_spark.kernels.ooxml import collect_relationship_images
+
     try:
         zf = open_zip(data)
     except Exception as e:
         raise MalformedDocument(f"invalid ZIP: {e}") from e
+    images: list[tuple[str, bytes]] = []
+    bytes_map: dict[str, bytes] = {}
+    extraction_warnings: list[dict] = []
     with zf:
         validate_zip_budget(zf, max_uncompressed_zip_bytes)
         styles_xml = read_zip_text(zf, "word/styles.xml")
@@ -576,17 +592,27 @@ def convert_docx(data: bytes, max_uncompressed_zip_bytes: int = 16 << 30) -> dic
         document_xml = read_zip_text(zf, "word/document.xml")
         if document_xml is None:
             raise MalformedDocument("missing word/document.xml")
+        if extract_images or describer is not None:
+            images, bytes_map, _ = collect_relationship_images(
+                zf, relationships, "word/document.xml",
+                max_image_bytes, extraction_warnings,
+            )
 
     image_counter = [0]
     markdown, plain_text, title, warnings, image_infos = parse_document(
         document_xml, styles, relationships, numbering, image_counter
     )
-    markdown, plain_text = resolve_image_placeholders(markdown, plain_text, image_infos)
+    warnings.extend(extraction_warnings)
+    markdown, plain_text = resolve_image_placeholders(
+        markdown, plain_text, image_infos,
+        image_bytes=bytes_map, describer=describer, warnings=warnings,
+    )
     return {
         "markdown": markdown,
         "plain_text": plain_text,
         "title": title,
         "warnings": warnings,
+        "images": images if extract_images else [],
     }
 
 

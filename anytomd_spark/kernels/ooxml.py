@@ -119,13 +119,92 @@ def parse_relationships(xml: str) -> dict[str, tuple[str, str]]:
     return rels
 
 
+DESCRIBE_PROMPT = "Describe this image concisely for use as alt text."
+
+
 def resolve_image_placeholders(
-    markdown: str, plain_text: str, image_infos: list[dict]
+    markdown: str,
+    plain_text: str,
+    image_infos: list[dict],
+    image_bytes: dict[str, bytes] | None = None,
+    describer=None,
+    warnings: list[dict] | None = None,
 ) -> tuple[str, str]:
-    """Default no-describer path: placeholder -> original alt text."""
+    """Placeholder resolution (ooxml_utils.rs:148-212).
+
+    With a describer: bytes are looked up by ``bytes_key`` then
+    ``filename``; the description replaces the alt, and a describer
+    failure falls back to the original alt with a SkippedElement
+    warning. Without one (or without bytes): original alt."""
+    image_bytes = image_bytes or {}
     for info in image_infos:
+        alt = info["original_alt"]
+        if describer is not None:
+            data = image_bytes.get(info.get("bytes_key", "")) or \
+                image_bytes.get(info["filename"])
+            if data is not None:
+                from anytomd_spark.kernels.decode import (
+                    SKIPPED_ELEMENT,
+                    mime_from_image,
+                    warning,
+                )
+
+                mime = mime_from_image(info["filename"], data)
+                try:
+                    alt = describer(data, mime, DESCRIBE_PROMPT)
+                except Exception as e:  # noqa: BLE001 - fall back to alt
+                    if warnings is not None:
+                        warnings.append(warning(
+                            SKIPPED_ELEMENT,
+                            f"image description failed for "
+                            f"'{info['filename']}': {e}",
+                            info["filename"],
+                        ))
         markdown = replace_image_alt_by_placeholder(
-            markdown, info["placeholder"], info["original_alt"], info["filename"]
+            markdown, info["placeholder"], alt, info["filename"]
         )
-        plain_text = plain_text.replace(info["placeholder"], info["original_alt"], 1)
+        plain_text = plain_text.replace(info["placeholder"], alt, 1)
     return markdown, plain_text
+
+
+def collect_relationship_images(
+    zf: zipfile.ZipFile,
+    relationships: dict[str, tuple[str, str]],
+    base_file: str,
+    max_total_image_bytes: int,
+    warnings: list[dict],
+    bytes_key_prefix: str = "",
+    total_so_far: int = 0,
+) -> tuple[list[tuple[str, bytes]], dict[str, bytes], int]:
+    """Image bytes for every image-typed relationship of ``base_file``,
+    under a shared total byte budget (docx.rs:1208-1243 semantics: stop
+    scanning once the budget is met; an image that crosses it is dropped
+    with a ResourceLimitReached warning). Returns (images, bytes_map,
+    new_total); bytes_map keys are ``{prefix}{rel_id}``."""
+    from anytomd_spark.kernels.decode import RESOURCE_LIMIT_REACHED, warning
+    from anytomd_spark.kernels.markdown import resolve_relative_to_file
+
+    images: list[tuple[str, bytes]] = []
+    bytes_map: dict[str, bytes] = {}
+    total = total_so_far
+    for rel_id, (target, rel_type) in relationships.items():
+        if "image" not in rel_type:
+            continue
+        if total >= max_total_image_bytes:
+            break
+        image_path = resolve_relative_to_file(base_file, target)
+        data = read_zip_bytes(zf, image_path)
+        if data is None:
+            continue
+        total += len(data)
+        if total <= max_total_image_bytes:
+            filename = image_path.rsplit("/", 1)[-1]
+            images.append((filename, data))
+            bytes_map[f"{bytes_key_prefix}{rel_id}"] = data
+        else:
+            warnings.append(warning(
+                RESOURCE_LIMIT_REACHED,
+                f"total image bytes exceeded limit ({max_total_image_bytes})",
+                image_path,
+            ))
+    return images, bytes_map, total

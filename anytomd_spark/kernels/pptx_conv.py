@@ -392,12 +392,27 @@ def render_slide(
     return "".join(out).rstrip(), "".join(plain).rstrip(), image_infos
 
 
-def convert_pptx(data: bytes, max_uncompressed_zip_bytes: int = 16 << 30) -> dict:
+def convert_pptx(
+    data: bytes,
+    max_uncompressed_zip_bytes: int = 16 << 30,
+    extract_images: bool = False,
+    describer=None,
+    max_image_bytes: int = 4 << 30,
+) -> dict:
+    """pptx.rs convert_inner; image bytes are collected per slide under a
+    shared budget when extraction or a describer is requested, keyed
+    ``{slide_path}::{rel_id}`` (pptx.rs:923-951)."""
+    from anytomd_spark.kernels.ooxml import collect_relationship_images
+
     try:
         zf = open_zip(data)
     except Exception as e:
         raise MalformedDocument(f"invalid ZIP: {e}") from e
     warnings: list[dict] = []
+    need_image_bytes = extract_images or describer is not None
+    images: list[tuple[str, bytes]] = []
+    bytes_map: dict[str, bytes] = {}
+    total_image_bytes = 0
     with zf:
         validate_zip_budget(zf, max_uncompressed_zip_bytes)
         rels_xml = read_zip_text(zf, "ppt/_rels/presentation.xml.rels")
@@ -407,7 +422,8 @@ def convert_pptx(data: bytes, max_uncompressed_zip_bytes: int = 16 << 30) -> dic
             raise MalformedDocument("missing ppt/presentation.xml")
         slides = resolve_slide_order(pres_xml, pres_rels)
         if not slides:
-            return {"markdown": "", "plain_text": "", "title": None, "warnings": []}
+            return {"markdown": "", "plain_text": "", "title": None,
+                    "warnings": [], "images": []}
 
         slide_markdowns: list[str] = []
         slide_plains: list[str] = []
@@ -448,6 +464,17 @@ def convert_pptx(data: bytes, max_uncompressed_zip_bytes: int = 16 << 30) -> dic
                         image_path = resolve_relative_to_file(path, rel[0])
                         image_filenames[shape[1]] = image_path.rsplit("/", 1)[-1]
 
+            if need_image_bytes:
+                slide_images, slide_bytes, total_image_bytes = (
+                    collect_relationship_images(
+                        zf, slide_rels, path, max_image_bytes, warnings,
+                        bytes_key_prefix=f"{path}::",
+                        total_so_far=total_image_bytes,
+                    )
+                )
+                images.extend(slide_images)
+                bytes_map.update(slide_bytes)
+
             if document_title is None:
                 document_title = next(
                     (s[1] for s in shapes if s[0] == "title"), None
@@ -467,13 +494,15 @@ def convert_pptx(data: bytes, max_uncompressed_zip_bytes: int = 16 << 30) -> dic
     if plain_text:
         plain_text += "\n"
     markdown, plain_text = resolve_image_placeholders(
-        markdown, plain_text, all_image_infos
+        markdown, plain_text, all_image_infos,
+        image_bytes=bytes_map, describer=describer, warnings=warnings,
     )
     return {
         "markdown": markdown,
         "plain_text": plain_text,
         "title": document_title,
         "warnings": warnings,
+        "images": images if extract_images else [],
     }
 
 

@@ -308,7 +308,80 @@ def _sheet_targets(zf) -> list[tuple[str, str]]:
     return sheets
 
 
-def convert_xlsx(data: bytes, max_uncompressed_zip_bytes: int = 16 << 30) -> dict:
+def parse_drawing_blips(xml: str) -> list[str]:
+    """Drawing XML -> ordered blip relationship ids (xlsx.rs:130-160)."""
+    rel_ids: list[str] = []
+
+    def start(local, attrs):
+        if local == "blip":
+            rid = attr_suffix(attrs, "embed")
+            if rid is not None:
+                rel_ids.append(rid)
+
+    parse_xml_events(xml, start, lambda l: None, lambda d: None)
+    return rel_ids
+
+
+def extract_sheet_images(zf, sheet_path: str) -> list[tuple[str, bytes]]:
+    """(filename, bytes) for every image anchored on the sheet, via
+    sheet rels -> drawing XML blips -> drawing rels -> media bytes
+    (xlsx.rs extract_sheet_images :32-128)."""
+    from anytomd_spark.kernels.markdown import (
+        derive_rels_path,
+        resolve_relative_path,
+    )
+    from anytomd_spark.kernels.ooxml import read_zip_bytes
+
+    images: list[tuple[str, bytes]] = []
+    sheet_rels_xml = read_zip_text(zf, derive_rels_path(sheet_path))
+    if sheet_rels_xml is None:
+        return images
+    sheet_rels = parse_relationships(sheet_rels_xml)
+    for target, _rel_type in sheet_rels.values():
+        if "drawing" not in target:
+            continue
+        if target.startswith("/"):
+            drawing_path = target[1:]
+        elif target.startswith("../"):
+            drawing_path = f"xl/{target[3:]}"
+        else:
+            drawing_path = f"xl/worksheets/{target}"
+        drawing_xml = read_zip_text(zf, drawing_path)
+        if drawing_xml is None:
+            continue
+        blip_ids = parse_drawing_blips(drawing_xml)
+        if not blip_ids:
+            continue
+        drawing_rels_xml = read_zip_text(zf, derive_rels_path(drawing_path))
+        if drawing_rels_xml is None:
+            continue
+        drawing_rels = parse_relationships(drawing_rels_xml)
+        drawing_dir = drawing_path.rsplit("/", 1)[0] if "/" in drawing_path else ""
+        for rel_id in blip_ids:
+            rel = drawing_rels.get(rel_id)
+            if rel is None:
+                continue
+            image_target = rel[0]
+            if image_target.startswith("/"):
+                image_path = image_target[1:]
+            else:
+                image_path = resolve_relative_path(drawing_dir, image_target)
+            data = read_zip_bytes(zf, image_path)
+            if data is not None:
+                images.append((image_path.rsplit("/", 1)[-1], data))
+    return images
+
+
+def convert_xlsx(
+    data: bytes,
+    max_uncompressed_zip_bytes: int = 16 << 30,
+    extract_images: bool = False,
+    describer=None,
+    max_image_bytes: int = 4 << 30,
+) -> dict:
+    from anytomd_spark.kernels.decode import RESOURCE_LIMIT_REACHED
+    from anytomd_spark.kernels.ooxml import resolve_image_placeholders
+
     try:
         zf = open_zip(data)
     except Exception as e:
@@ -316,6 +389,12 @@ def convert_xlsx(data: bytes, max_uncompressed_zip_bytes: int = 16 << 30) -> dic
     warnings: list[dict] = []
     sections: list[str] = []
     plain_sections: list[str] = []
+    need_image_bytes = extract_images or describer is not None
+    images: list[tuple[str, bytes]] = []
+    bytes_map: dict[str, bytes] = {}
+    image_infos: list[dict] = []
+    image_counter = 0
+    total_image_bytes = 0
     with zf:
         validate_zip_budget(zf, max_uncompressed_zip_bytes)
         shared_xml = read_zip_text(zf, "xl/sharedStrings.xml")
@@ -351,12 +430,52 @@ def convert_xlsx(data: bytes, max_uncompressed_zip_bytes: int = 16 << 30) -> dic
                 grid.append(row_out)
 
             headers, data_rows = grid[0], grid[1:]
-            sections.append(format_heading(2, name) + build_table(headers, data_rows))
-            plain_sections.append(f"{name}\n" + build_table_plain(headers, data_rows))
+            section = format_heading(2, name) + build_table(headers, data_rows)
+            plain_section = f"{name}\n" + build_table_plain(headers, data_rows)
 
+            if need_image_bytes:
+                image_lines: list[str] = []
+                plain_image_lines: list[str] = []
+                for filename, img_data in extract_sheet_images(zf, path):
+                    total_image_bytes += len(img_data)
+                    if total_image_bytes <= max_image_bytes:
+                        placeholder = f"__img_{image_counter}__"
+                        image_counter += 1
+                        image_infos.append({
+                            "placeholder": placeholder,
+                            "original_alt": "",
+                            "filename": filename,
+                            "bytes_key": placeholder,
+                        })
+                        image_lines.append(f"![{placeholder}]({filename})")
+                        plain_image_lines.append(placeholder)
+                        if extract_images:
+                            images.append((filename, img_data))
+                        bytes_map[placeholder] = img_data
+                    else:
+                        warnings.append(warning(
+                            RESOURCE_LIMIT_REACHED,
+                            f"total image bytes exceeded limit "
+                            f"({max_image_bytes})",
+                            filename,
+                        ))
+                if image_lines:
+                    section += "\n" + "\n".join(image_lines)
+                    plain_section += "\n" + "\n".join(plain_image_lines)
+
+            sections.append(section)
+            plain_sections.append(plain_section)
+
+    markdown = "\n".join(sections)
+    plain_text = "\n".join(plain_sections)
+    markdown, plain_text = resolve_image_placeholders(
+        markdown, plain_text, image_infos,
+        image_bytes=bytes_map, describer=describer, warnings=warnings,
+    )
     return {
-        "markdown": "\n".join(sections),
-        "plain_text": "\n".join(plain_sections),
+        "markdown": markdown,
+        "plain_text": plain_text,
         "title": None,
         "warnings": warnings,
+        "images": images,
     }
