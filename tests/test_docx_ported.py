@@ -305,3 +305,122 @@ class TestDocxBudgetsAndErrors:
     def test_first_heading1_becomes_title(self):
         body = heading_para("Doc Title", 1) + para("Body text.")
         assert convert_docx(build(body))["title"] == "Doc Title"
+
+
+def bold_para(text: str) -> str:
+    return f"<w:p><w:r><w:rPr><w:b/></w:rPr><w:t>{text}</w:t></w:r></w:p>"
+
+
+def italic_para(text: str) -> str:
+    return f"<w:p><w:r><w:rPr><w:i/></w:rPr><w:t>{text}</w:t></w:r></w:p>"
+
+
+class TestDocxFormattingPorted:
+    def test_heading_from_styles_xml(self):
+        body = ('<w:p><w:pPr><w:pStyle w:val="CustomTitle"/></w:pPr>'
+                "<w:r><w:t>My Title</w:t></w:r></w:p>")
+        styles_xml = ('<w:style w:type="paragraph" w:styleId="CustomTitle">'
+                      '<w:name w:val="heading 1"/></w:style>')
+        data = build_with_styles(body, styles_xml)
+        assert "# My Title\n" in convert_docx(data)["markdown"]
+
+    def test_first_heading1_becomes_title(self):
+        body = (heading_para("Document Title", 1) + para("Some text.")
+                + heading_para("Another H1", 1))
+        assert convert_docx(build(body))["title"] == "Document Title"
+
+    def test_missing_styles_xml_graceful(self):
+        body = heading_para("Title", 1) + para("Body text.")
+        out = convert_docx(build(body))
+        assert "# Title\n" in out["markdown"]
+        assert "Body text." in out["markdown"]
+        assert out["warnings"] == []
+
+    def test_bold_text(self):
+        assert "**Bold text**" in convert_docx(
+            build(bold_para("Bold text")))["markdown"]
+
+    def test_italic_text(self):
+        assert "*Italic text*" in convert_docx(
+            build(italic_para("Italic text")))["markdown"]
+
+    def test_bold_italic_nested(self):
+        body = ("<w:p><w:r><w:rPr><w:b/><w:i/></w:rPr>"
+                "<w:t>Bold and italic</w:t></w:r></w:p>")
+        assert "***Bold and italic***" in convert_docx(build(body))["markdown"]
+
+    def test_bold_val_false_not_bold(self):
+        body = ('<w:p><w:r><w:rPr><w:b w:val="0"/></w:rPr>'
+                "<w:t>Not bold</w:t></w:r></w:p>")
+        md = convert_docx(build(body))["markdown"]
+        assert "Not bold" in md and "**" not in md
+
+    def test_mixed_formatting_runs(self):
+        body = ('<w:p><w:r><w:t xml:space="preserve">Normal </w:t></w:r>'
+                '<w:r><w:rPr><w:b/></w:rPr><w:t xml:space="preserve">bold '
+                "</w:t></w:r><w:r><w:t>normal</w:t></w:r></w:p>")
+        assert "Normal **bold** normal" in convert_docx(build(body))["markdown"]
+
+    def test_bold_in_hyperlink(self):
+        body = ('<w:p><w:hyperlink r:id="rId1"><w:r><w:rPr><w:b/></w:rPr>'
+                "<w:t>Bold Link</w:t></w:r></w:hyperlink></w:p>")
+        rels = (f'<Relationship Id="rId1" Type="{HYPERLINK_TYPE}" '
+                'Target="https://example.com" TargetMode="External"/>')
+        md = convert_docx(build(body, rels=rels))["markdown"]
+        assert "[**Bold Link**](https://example.com)" in md
+
+    def test_empty_run_no_markers(self):
+        body = ("<w:p><w:r><w:rPr><w:b/></w:rPr><w:t></w:t></w:r>"
+                "<w:r><w:t>text</w:t></w:r></w:p>")
+        md = convert_docx(build(body))["markdown"]
+        assert "****" not in md and "text" in md
+
+    def test_adjacent_bold_runs_merged(self):
+        body = ('<w:p><w:r><w:rPr><w:b/></w:rPr>'
+                '<w:t xml:space="preserve">Hello </w:t></w:r>'
+                "<w:r><w:rPr><w:b/></w:rPr><w:t>World</w:t></w:r></w:p>")
+        md = convert_docx(build(body))["markdown"]
+        assert "**Hello World**" in md and "** **" not in md
+
+    def test_adjacent_italic_runs_merged(self):
+        body = ('<w:p><w:r><w:rPr><w:i/></w:rPr>'
+                '<w:t xml:space="preserve">Hello </w:t></w:r>'
+                "<w:r><w:rPr><w:i/></w:rPr><w:t>World</w:t></w:r></w:p>")
+        assert "*Hello World*" in convert_docx(build(body))["markdown"]
+
+    def test_formatting_change_between_runs(self):
+        body = ('<w:p><w:r><w:rPr><w:b/></w:rPr>'
+                '<w:t xml:space="preserve">bold </w:t></w:r>'
+                "<w:r><w:rPr><w:i/></w:rPr><w:t>italic</w:t></w:r></w:p>")
+        assert "**bold** *italic*" in convert_docx(build(body))["markdown"]
+
+    def test_title_no_markdown_formatting(self):
+        # bold inside the title heading: title is plain text
+        body = ('<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+                "<w:r><w:rPr><w:b/></w:rPr><w:t>Styled Title</w:t></w:r>"
+                "</w:p>")
+        out = convert_docx(build(body))
+        assert out["title"] == "Styled Title"
+        assert "**" not in (out["title"] or "")
+
+
+def build_with_styles(body: str, styles_xml: str) -> str:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "word/document.xml",
+            f'<?xml version="1.0"?><w:document {NSDECL}><w:body>{body}'
+            "</w:body></w:document>",
+        )
+        zf.writestr(
+            "word/styles.xml",
+            f'<?xml version="1.0"?><w:styles {NSDECL}>{styles_xml}</w:styles>',
+        )
+        zf.writestr(
+            "word/_rels/document.xml.rels",
+            f"<Relationships {RELS_NS}></Relationships>",
+        )
+    return buf.getvalue()
