@@ -274,6 +274,33 @@ def _q_dedup_lsh_bucket_stats(spark, sf):
     return DD.lsh_bucket_stats(docs, num_hashes=16, bands=4)
 
 
+def _q_pipeline_training_corpus(spark, sf):
+    """End-to-end training-data pipeline in one DAG: convert every turn,
+    drop failures, quality-gate the produced Markdown (min tokens +
+    punctuation ceiling), exact-dedup on content (keep lowest doc_id per
+    md5), then summarize the surviving corpus per format. Every stage is
+    SQL-expressible, so the whole composition is value-level checked."""
+    conv = _converted(spark, sf).filter(F.col("error").isNull())
+    md = F.col("markdown")
+    n_tok = F.when(
+        F.length(F.trim(md)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(md), r"\s+")))
+    punct = F.length(F.regexp_replace(md, r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = F.when(
+        F.length(md) > 0, punct.cast("double") / F.length(md)
+    ).otherwise(F.lit(0.0))
+    gated = conv.filter((n_tok >= 5) & (punct_ratio <= 0.5))
+    return (
+        gated.withColumn("content_md5", F.md5(md))
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_gated"),
+            F.countDistinct("content_md5").alias("n_unique"),
+            F.sum(n_tok).alias("total_tokens"),
+        )
+    )
+
+
 def _q_stream_stateful_dedup(spark, sf):
     """Structured Streaming stateful dedup (applyInPandasWithState) run as
     an availableNow catch-up over the derived transcripts plus seeded
@@ -388,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         # structured streaming (stateful operator, driver-visible)
         "stream_stateful_dedup": _q_stream_stateful_dedup,
+        # composed end-to-end pipeline (convert + quality gate + dedup)
+        "pipeline_training_corpus": _q_pipeline_training_corpus,
     }
 
 
@@ -830,6 +859,30 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END), 6) AS avg_token_len,
                    sum(stop_hits)::bigint AS stopword_hits
             FROM scored GROUP BY source
+        """,
+        "pipeline_training_corpus": f"""
+            WITH conv AS (
+                SELECT {SQL_FMT} AS fmt, {SQL_MARKDOWN} AS markdown
+                FROM documents
+            ), gated AS (
+                SELECT fmt, markdown,
+                       CASE WHEN length(trim(markdown)) = 0 THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                trim(markdown), '\\s+')) END AS n_tok
+                FROM conv
+                WHERE (CASE WHEN length(trim(markdown)) = 0 THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                trim(markdown), '\\s+')) END) >= 5
+                  AND (CASE WHEN length(markdown) > 0
+                            THEN length(regexp_replace(markdown,
+                                '[^!-/:-@\\[-`{{-~]', '', 'g'))::double
+                                 / length(markdown)
+                            ELSE 0 END) <= 0.5
+            )
+            SELECT fmt, count(*) AS n_gated,
+                   count(DISTINCT md5(markdown)) AS n_unique,
+                   sum(n_tok)::bigint AS total_tokens
+            FROM gated GROUP BY fmt
         """,
         "stream_stateful_dedup": f"""
             WITH t AS (
