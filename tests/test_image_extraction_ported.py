@@ -260,3 +260,53 @@ class TestXlsxImageExtraction:
         out = convert_xlsx(xlsx_with_image(), extract_images=True)
         assert "__img_" not in out["plain_text"]
         assert "__img_" not in out["markdown"]
+
+
+def xlsx_with_absolute_paths(name: str = "image1.png",
+                             data: bytes = PNG) -> bytes:
+    """Drawing and image targets given as absolute package paths
+    (xlsx.rs:1574-1614)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml",
+                    f'<?xml version="1.0"?><workbook {X}><sheets>'
+                    '<sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+                    "</workbook>")
+        zf.writestr("xl/_rels/workbook.xml.rels",
+                    f'<Relationships {RELS_NS}><Relationship Id="rId1" '
+                    'Type=".../worksheet" Target="worksheets/sheet1.xml"/>'
+                    "</Relationships>")
+        zf.writestr("xl/worksheets/sheet1.xml",
+                    f'<?xml version="1.0"?><worksheet {X}><sheetData>'
+                    '<row r="1"><c r="A1" t="inlineStr"><is><t>H</t></is></c>'
+                    "</row></sheetData></worksheet>")
+        zf.writestr("xl/worksheets/_rels/sheet1.xml.rels",
+                    f'<Relationships {RELS_NS}><Relationship Id="rIdD" '
+                    'Type=".../drawing" Target="/xl/drawings/drawing1.xml"/>'
+                    "</Relationships>")
+        zf.writestr("xl/drawings/drawing1.xml",
+                    f'<?xml version="1.0"?><xdr:wsDr {XDR}>'
+                    '<xdr:pic><xdr:blipFill><a:blip r:embed="rIdI"/>'
+                    "</xdr:blipFill></xdr:pic></xdr:wsDr>")
+        zf.writestr("xl/drawings/_rels/drawing1.xml.rels",
+                    f'<Relationships {RELS_NS}><Relationship Id="rIdI" '
+                    f'Type="{IMG_T}" Target="/xl/media/{name}"/>'
+                    "</Relationships>")
+        zf.writestr(f"xl/media/{name}", data)
+    return buf.getvalue()
+
+
+class TestXlsxAbsolutePaths:
+    def test_extraction_absolute_paths(self):
+        out = convert_xlsx(xlsx_with_absolute_paths(), extract_images=True)
+        assert out["images"] == [("image1.png", PNG)]
+
+    def test_image_in_markdown_absolute_paths(self):
+        out = convert_xlsx(xlsx_with_absolute_paths(), extract_images=True)
+        assert "![](image1.png)" in out["markdown"]
+
+    def test_describer_absolute_paths(self):
+        out = convert_xlsx(
+            xlsx_with_absolute_paths(), describer=lambda d, m, p: "Abs chart"
+        )
+        assert "![Abs chart](image1.png)" in out["markdown"]
