@@ -162,3 +162,31 @@ def test_salted_equals_unsalted_on_skewed_input(spark):
     sizes = {r.conv_id: r.n for r in df.groupBy("conv_id").count()
              .withColumnRenamed("count", "n").collect()}
     assert max(sizes.values()) >= 100
+
+
+def test_catalog_table_source(spark, tmp_path):
+    """The job's --table path: transcripts registered in the session
+    catalog (saveAsTable -> spark.read.table) convert identically to the
+    parquet-path source — the sandbox stand-in for an Iceberg catalog
+    table (SURVEY §7.6: Iceberg resolves through spark.read.table)."""
+    from anytomd_spark.pipeline import run_pipeline
+    from anytomd_spark.transcripts import TRANSCRIPTS_SCHEMA, fixture_transcripts
+
+    pdf = fixture_transcripts()
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    # managed table in the session warehouse; dropped (with data) below
+    df.write.mode("overwrite").saveAsTable("transcripts_tbl")
+    try:
+        via_table = spark.read.table("transcripts_tbl")
+        result = run_pipeline(
+            spark, via_table,
+            output_path=str(tmp_path / "out"),
+            lineage_path=str(tmp_path / "lineage"),
+            n_buckets=4,
+        )
+        assert result["rows"] == len(pdf)
+        assert result["failures"] == 0
+        got = spark.read.parquet(str(tmp_path / "out"))
+        assert got.filter("markdown is null").count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS transcripts_tbl")
