@@ -141,3 +141,41 @@ def test_stateful_dedup_bounded_state(spark, tmp_path):
     # only 2 hashes retained -> text-0 was evicted before turn 4 arrived
     assert got[4].is_dup is False
     assert got[4].n_seen == 5
+
+
+def test_streaming_corrupt_payloads_become_error_rows(spark, tmp_path):
+    """Chaos through the streaming path: malformed payloads must land as
+    per-row errors in the sink — the query itself never fails."""
+    import base64
+
+    import pandas as pd
+
+    from anytomd_spark.transcripts import TRANSCRIPTS_SCHEMA
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = pd.DataFrame(
+        [
+            ("c", 0, "user", "fine text", "txt", None),
+            ("c", 1, "user", '{"broken": ', "json", None),
+            ("c", 2, "user",
+             base64.b64encode(b"PK\x03\x04garbage").decode(), "", None),
+            ("c", 3, "user", "%PDF-1.7 nope", "pdf", None),
+            ("c", 4, "user", "<ok>xml</ok>", "xml", None),
+        ],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA).write.mode(
+        "append").parquet(inp)
+
+    q = start_conversion_stream(spark, inp, out, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+
+    got = {r.turn_idx: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 5
+    assert got[0].error is None and got[0].markdown == "fine text"
+    assert got[1].error is not None
+    assert got[2].error is not None
+    assert got[3].error is not None  # PDF intentionally rejected
+    assert got[4].error is None and "```xml" in got[4].markdown
