@@ -282,14 +282,10 @@ def _q_pipeline_training_corpus(spark, sf):
     SQL-expressible, so the whole composition is value-level checked."""
     conv = _converted(spark, sf).filter(F.col("error").isNull())
     md = F.col("markdown")
-    n_tok = F.when(
-        F.length(F.trim(md)) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(md), r"\s+")))
-    punct = F.length(F.regexp_replace(md, r"[^!-/:-@\[-`{-~]", ""))
-    punct_ratio = F.when(
-        F.length(md) > 0, punct.cast("double") / F.length(md)
-    ).otherwise(F.lit(0.0))
-    gated = conv.filter((n_tok >= 5) & (punct_ratio <= 0.5))
+    # single Spark-side definition of the gate expressions (text_quality
+    # owns them); the third copy in the SQL oracle is unavoidable
+    n_tok = TQ.token_count(md)
+    gated = conv.filter((n_tok >= 5) & (TQ.punct_ratio(md) <= 0.5))
     return (
         gated.withColumn("content_md5", F.md5(md))
         .groupBy("fmt")

@@ -212,14 +212,17 @@ def ngram_jaccard_pairs(
     )
     a = sets.alias("sa")
     b = sets.alias("sb")
+    # both shingle arrays are distinct sets, so |A∪B| = |A|+|B|−|A∩B|:
+    # one array_intersect per pair instead of intersect + union (the
+    # union materializes a merged array only to take its size)
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
     joined = (
         pairs.join(a, pairs["a"] == F.col(f"sa.{id_col}"))
         .join(b, pairs["b"] == F.col(f"sb.{id_col}"))
         .select(
             "a", "b",
             (
-                F.size(F.array_intersect("sa.sh", "sb.sh"))
-                / F.size(F.array_union("sa.sh", "sb.sh"))
+                inter / (F.size("sa.sh") + F.size("sb.sh") - inter)
             ).alias("jaccard"),
         )
     )

@@ -45,11 +45,18 @@ def _ratio(sub_len, total_len):
     return F.when(total_len > 0, sub_len.cast("double") / total_len).otherwise(F.lit(0.0))
 
 
+def punct_ratio(text_col="text"):
+    """ASCII-punctuation character ratio (0.0 for empty text) — the shared
+    gate expression used by quality_scores and the composed pipeline."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+    return _ratio(punct, F.length(c))
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punctuation/digit/stopword quality features per document."""
     c = F.col(text_col)
     total = F.length(c)
-    punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
     digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
     spaces = F.length(F.regexp_replace(c, r"[^ \t\n]", ""))
     tokens = F.split(F.lower(F.trim(c)), r"\s+")
@@ -59,7 +66,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumns({
         "n_chars_m": total.cast("long"),
         "n_tokens": n_tok.cast("long"),
-        "punct_ratio": _ratio(punct, total),
+        "punct_ratio": punct_ratio(text_col),
         "digit_ratio": _ratio(digits, total),
         "space_ratio": _ratio(spaces, total),
         "stopword_hits": n_stop.cast("long"),
