@@ -30,6 +30,15 @@ from anytomd_spark.pipeline import convert_transcripts, ordered_output
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Signature tables persisted by the simhash / lsh-bucket-stats queries so
+# the DuckDB oracles can recompute everything downstream of the xxhash64
+# primitive (blocking, pair Hamming, bucket stats) from the same input.
+# Fixed paths: oracle_sql() is collected before the queries run, but the
+# driver executes each oracle AFTER its Spark query has materialized.
+ORACLE_INPUTS = "/tmp/anytomd_oracle_inputs"
+SIMHASH_SIGS = f"{ORACLE_INPUTS}/simhash_sigs"
+MINHASH_BANDED = f"{ORACLE_INPUTS}/minhash_banded"
+
 
 def _converted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convert_transcripts(documents_transcripts(spark, sf_dir))
@@ -113,8 +122,15 @@ def _q_dedup_minhash_pairs(spark, sf):
 
 
 def _q_dedup_simhash(spark, sf):
+    """SimHash near-dups with the signature table persisted as parquet:
+    the oracle reads the SAME signatures and independently recomputes
+    16-bit blocking, capped-bucket candidate pairs, and exact Hamming
+    (bit_count(xor)) in DuckDB — value-level for everything except the
+    xxhash64 primitive itself."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return DD.simhash_near_dups(docs, max_hamming=3)
+    DD.simhash64(docs).write.mode("overwrite").parquet(SIMHASH_SIGS)
+    sigs = spark.read.parquet(SIMHASH_SIGS)
+    return DD.simhash_pairs_from_sigs(sigs, max_hamming=3)
 
 
 def _q_sim_cosine_topk(spark, sf):
@@ -269,9 +285,15 @@ def _q_events_sessionize(spark, sf):
 
 
 def _q_dedup_lsh_bucket_stats(spark, sf):
-    """Observability for the max_bucket guard: bucket-size distribution."""
+    """Observability for the max_bucket guard: bucket-size distribution.
+    The banded (doc_id, band, band_hash) table is persisted so DuckDB
+    recomputes the bucket-size stats from the same rows (value-level for
+    the derived logic; the band hash itself is xxhash64-bound)."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return DD.lsh_bucket_stats(docs, num_hashes=16, bands=4)
+    DD.minhash_banded(docs, num_hashes=16, bands=4).write.mode(
+        "overwrite"
+    ).parquet(MINHASH_BANDED)
+    return DD.bucket_stats_from_banded(spark.read.parquet(MINHASH_BANDED))
 
 
 def _q_pipeline_training_corpus(spark, sf):
@@ -627,6 +649,107 @@ def _media_frames_oracle(n: int = 48, every_ms: int = 250) -> str:
     """
 
 
+def _simhash_oracle(max_hamming: int = 3, blocks: int = 4,
+                    max_bucket: int = 64) -> str:
+    """DuckDB twin of DD.simhash_pairs_from_sigs over the persisted
+    signature parquet (written by _q_dedup_simhash before the oracle
+    runs): 16-bit block decomposition, degenerate-bucket cap, distinct
+    within-bucket pairs, exact Hamming via bit_count(xor). DuckDB's
+    arithmetic ``>>`` then ``& 65535`` equals Spark's shiftrightunsigned
+    + mask for shifts <= 48 (the masked bits are identical)."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    blks = ", ".join(str(i) for i in range(blocks))
+    return f"""
+        WITH sigs AS (
+            SELECT doc_id, simhash
+            FROM read_parquet('{SIMHASH_SIGS}/*.parquet')
+        ), blocked AS (
+            SELECT doc_id, blk,
+                   ((simhash >> (blk * {width})) & {mask}) AS blk_val
+            FROM sigs, (SELECT unnest([{blks}]) AS blk) b
+        ), ok AS (
+            SELECT blk, blk_val FROM blocked
+            GROUP BY blk, blk_val
+            HAVING count(*) BETWEEN 2 AND {max_bucket}
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM blocked x
+            JOIN blocked y ON y.blk = x.blk AND y.blk_val = x.blk_val
+                          AND y.doc_id > x.doc_id
+            JOIN ok ON ok.blk = x.blk AND ok.blk_val = x.blk_val
+        )
+        SELECT a, b, bit_count(xor(sa.simhash, sb.simhash))::int AS hamming
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = cand.a
+        JOIN sigs sb ON sb.doc_id = cand.b
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+    """
+
+
+def _fingerprints_oracle() -> str:
+    """DuckDB twin of TQ.fingerprints — a full independent recomputation
+    of the winnowing fingerprint (no persisted intermediate): the
+    polynomial hash over 8-grams mod the Mersenne prime 2^61-1 is pure
+    arithmetic (HUGEINT keeps the 8-term sums exact), and the
+    window-min-XOR (window 4, stride 4, trailing partial window dropped —
+    numpy sliding_window_view semantics) is a list expression. Matches
+    text_quality._poly_hashes / winnow_fingerprint bit-for-bit."""
+    from anytomd_spark.analysis.text_quality import _WIN_K, _WIN_MOD, _WIN_W
+
+    mod = int(_WIN_MOD)
+    # full 8-gram: sum_j codes[i+j] * 257^(K-1-j)
+    gram = " + ".join(
+        f"codes[i+{j}]::HUGEINT * {257 ** (_WIN_K - 1 - j)}"
+        for j in range(_WIN_K)
+    )
+    return f"""
+        WITH c AS (
+            SELECT doc_id, md5(text) AS content_md5,
+                   [unicode(s[i]) FOR i IN range(1, length(s) + 1)] AS codes
+            FROM (SELECT doc_id, text, lower(coalesce(text, '')) AS s
+                  FROM documents)
+        ), h AS (
+            SELECT doc_id, content_md5,
+                   CASE
+                     WHEN len(codes) >= {_WIN_K} THEN
+                       [(({gram}) % {mod})::BIGINT
+                        FOR i IN range(1, len(codes) - {_WIN_K - 2})]
+                     WHEN len(codes) = 0 THEN [0::BIGINT]
+                     ELSE
+                       -- Horner over all n < 8 chars: one exact mod at the
+                       -- end (power() is exact: exponent <= 6 < 2^53 limit)
+                       [(list_sum([codes[j]::HUGEINT
+                                   * power(257, len(codes) - j)::HUGEINT
+                                   FOR j IN range(1, len(codes) + 1)])
+                         % {mod})::BIGINT]
+                   END AS hashes
+            FROM c
+        )
+        SELECT doc_id, content_md5,
+               CASE WHEN len(hashes) <= {_WIN_W} THEN list_min(hashes)
+                    ELSE list_aggregate(
+                        [list_min(hashes[(k * {_WIN_W} + 1):(k * {_WIN_W} + {_WIN_W})])
+                         FOR k IN range(0, (len(hashes) - {_WIN_W}) // {_WIN_W} + 1)],
+                        'bit_xor')
+               END AS winnow_fp
+        FROM h
+    """
+
+
+_LSH_BUCKET_STATS_ORACLE = f"""
+    WITH bucket_sizes AS (
+        SELECT band, band_hash, count(*) AS bucket_size
+        FROM read_parquet('{MINHASH_BANDED}/*.parquet')
+        GROUP BY band, band_hash
+    )
+    SELECT band, count(*) AS n_buckets,
+           max(bucket_size) AS max_bucket_size,
+           round(avg(bucket_size), 3) AS avg_bucket_size
+    FROM bucket_sizes GROUP BY band
+"""
+
+
 def _md_oracle(mod: int) -> str:
     return f"""
         SELECT doc_id, {SQL_MARKDOWN} AS markdown
@@ -902,8 +1025,12 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_oracle(),
         "media_features": _media_oracle(),
         "media_frames": _media_frames_oracle(),
-        # fingerprints / minhash / simhash / lsh-bucket-stats: engine-
-        # specific hash (xxhash64) -> rows-only checks (documented weaker
-        # gate); minhash/simhash get empirical-equivalence oracles below
-        # when the dataset's near-dup structure allows it
+        # simhash / lsh-bucket-stats: the xxhash64 signature tables are
+        # persisted by the queries; DuckDB recomputes all derived logic
+        # (blocking, capped buckets, pair Hamming, bucket stats) from the
+        # same parquet — value-level for everything except the hash
+        # primitive itself
+        "dedup_simhash": _simhash_oracle(),
+        "dedup_lsh_bucket_stats": _LSH_BUCKET_STATS_ORACLE,
+        "text_fingerprints": _fingerprints_oracle(),
     }

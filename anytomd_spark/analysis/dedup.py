@@ -174,6 +174,21 @@ def _bucket_pairs(
     )
 
 
+def minhash_banded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Public surface for the banded signature table (id, band, band_hash):
+    persistable as the oracle-checkable intermediate — everything
+    downstream of it (bucket stats, candidate pairs) is hash-free
+    relational logic an independent engine can recompute."""
+    return _banded(docs, id_col, text_col, num_hashes, bands, shingle_n)
+
+
 def lsh_bucket_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -185,6 +200,11 @@ def lsh_bucket_stats(
     """Bucket-size distribution per band — the observability hook for the
     ``max_bucket`` guard (how much was dropped, not silently)."""
     banded = _banded(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    return bucket_stats_from_banded(banded)
+
+
+def bucket_stats_from_banded(banded: DataFrame) -> DataFrame:
+    """Stats stage over a (id, band, band_hash) table (see minhash_banded)."""
     return (
         banded.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
@@ -307,11 +327,28 @@ def simhash_near_dups(
     (blocking + both lookup sides) and recomputing the 64-bit fold per
     use tripled the query's CPU. At scale, sigs is (id, 8 bytes) — tiny
     next to the corpus — so MEMORY_AND_DISK is safe."""
+    sigs = simhash64(docs, id_col, text_col)
+    return simhash_pairs_from_sigs(
+        sigs, id_col=id_col, max_hamming=max_hamming, blocks=blocks,
+        max_bucket=max_bucket,
+    )
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Blocking + pair unfold + exact Hamming recheck over a precomputed
+    (id, simhash) signature table. Split out from :func:`simhash_near_dups`
+    so a persisted signature parquet can feed BOTH this and an independent
+    engine (DuckDB recomputes blocking and ``bit_count(xor)`` from the same
+    table — value-level oracle for everything except the hash primitive)."""
     from pyspark import StorageLevel
 
-    sigs = simhash64(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     width = 64 // blocks
     blocked = sigs.select(
         id_col,
