@@ -364,6 +364,58 @@ def _q_stream_stateful_dedup(spark, sf):
     )
 
 
+# epoch base for the windowed-metrics stream (2026-01-01T00:00:00Z); any
+# constant works — windows are epoch-aligned, output is epoch seconds
+_STREAM_EPOCH = 1767225600
+
+
+def _q_stream_windowed_metrics(spark, sf):
+    """Watermarked event-time windowed metrics (streaming.metrics_stream)
+    run availableNow over the derived transcripts with deterministic
+    spread timestamps (ts = epoch base + (doc_id % 37) minutes -> eight
+    5-minute windows). Output keys on epoch seconds, so the DuckDB twin
+    is pure integer arithmetic — no timezone coupling."""
+    import os
+    import tempfile
+
+    from anytomd_spark.streaming import (
+        convert_stream,
+        metrics_stream,
+        read_transcripts_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="anytomd_stream_met_")
+    inp = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+
+    t = documents_transcripts(spark, sf).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(_STREAM_EPOCH) + F.pmod("doc_id", F.lit(37)) * 60
+        ),
+    ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    t.coalesce(1).write.mode("overwrite").parquet(inp)
+
+    met = metrics_stream(convert_stream(read_transcripts_stream(spark, inp)))
+    q = (
+        met.writeStream.foreachBatch(
+            lambda df, _e: df.write.mode("overwrite").parquet(sink)
+        )
+        # complete mode: the final micro-batch emits every window,
+        # including those the watermark hasn't closed yet
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink).select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "fmt", "n_turns", "bytes_in", "chars_out", "n_failures",
+    )
+
+
 def _q_media_features(spark, sf):
     from anytomd_spark.analysis.multimodal import extract_features, synthesize_media
 
@@ -431,8 +483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
-        # structured streaming (stateful operator, driver-visible)
+        # structured streaming (stateful operator + watermarked windows)
         "stream_stateful_dedup": _q_stream_stateful_dedup,
+        "stream_windowed_metrics": _q_stream_windowed_metrics,
         # composed end-to-end pipeline (convert + quality gate + dedup)
         "pipeline_training_corpus": _q_pipeline_training_corpus,
     }
@@ -1021,6 +1074,16 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY conv_id
                                       ORDER BY turn_idx)::bigint AS n_seen
             FROM t
+        """,
+        "stream_windowed_metrics": f"""
+            SELECT ({_STREAM_EPOCH} + (doc_id % 37) * 60) // 300 * 300
+                       AS window_start,
+                   {SQL_FMT} AS fmt,
+                   count(*) AS n_turns,
+                   sum({SQL_BYTES_IN})::bigint AS bytes_in,
+                   sum(length({SQL_MARKDOWN}))::bigint AS chars_out,
+                   0::bigint AS n_failures
+            FROM documents GROUP BY 1, 2
         """,
         "text_langid": _langid_oracle(),
         "media_features": _media_oracle(),

@@ -143,6 +143,69 @@ def test_stateful_dedup_bounded_state(spark, tmp_path):
     assert got[4].n_seen == 5
 
 
+def test_metrics_stream_windows_and_watermark(spark, tmp_path):
+    """Watermarked windowed metrics (streaming.metrics_stream): 5-minute
+    event-time windows, append mode emits a window only once its end is
+    behind the watermark, and a late arrival for a closed window is
+    DROPPED (state stays bounded at 10^12-turn scale)."""
+    import pandas as pd
+
+    from anytomd_spark.streaming import (
+        convert_stream,
+        metrics_stream,
+        read_transcripts_stream,
+    )
+    from anytomd_spark.transcripts import TRANSCRIPTS_SCHEMA
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def write_rows(rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        )
+        spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA).write.mode(
+            "append").parquet(inp)
+
+    def run_pass():
+        met = metrics_stream(
+            convert_stream(read_transcripts_stream(spark, inp))
+        )
+        q = (met.writeStream.format("parquet").option("path", out)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {
+            (r.window_start.minute, r.fmt): r
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # pass 1: two turns in window [0,5), one at minute 20. watermark after
+    # the batch = 20min - 10min = 10min -> only the first window is closed.
+    write_rows([
+        ("c", 0, "user", "alpha", "txt", base),
+        ("c", 1, "user", "beta", "txt", base + pd.Timedelta(minutes=1)),
+        ("c", 2, "user", "gamma", "txt", base + pd.Timedelta(minutes=20)),
+    ])
+    got = run_pass()
+    assert got[(0, "txt")].n_turns == 2
+    assert (20, "txt") not in got  # not closed yet
+
+    # pass 2 (checkpoint restart): a LATE turn for the closed [0,5) window
+    # must be dropped; minute 40 advances the watermark past window [20,25).
+    write_rows([
+        ("c", 3, "user", "late-dropped", "txt",
+         base + pd.Timedelta(minutes=1)),
+        ("c", 4, "user", "delta", "txt", base + pd.Timedelta(minutes=40)),
+    ])
+    got2 = run_pass()
+    assert got2[(0, "txt")].n_turns == 2   # late row did NOT re-emit/merge
+    assert got2[(20, "txt")].n_turns == 1  # now closed and emitted once
+
+
 def test_streaming_corrupt_payloads_become_error_rows(spark, tmp_path):
     """Chaos through the streaming path: malformed payloads must land as
     per-row errors in the sink — the query itself never fails."""
