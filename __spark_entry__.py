@@ -44,9 +44,14 @@ def _converted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convert_transcripts(documents_transcripts(spark, sf_dir))
 
 
+def _turns_slim(spark, sf):
+    """Slim (conv_id, turn_idx) side for the skew-safe turn_seq counts."""
+    return documents_transcripts(spark, sf).select("conv_id", "turn_idx")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline over sf0.001-derived transcripts."""
-    out = ordered_output(_converted(spark, SF0001))
+    out = ordered_output(_converted(spark, SF0001), turns=_turns_slim(spark, SF0001))
     return out.select(
         "conv_id", "turn_idx", "turn_seq", "role", "fmt", "markdown",
         "plain_text", "title", "error", "n_warnings", "bytes_in", "chars_out",
@@ -88,9 +93,9 @@ def _q_convert_metrics(spark, sf):
 
 
 def _q_convert_turn_ordering(spark, sf):
-    return ordered_output(_converted(spark, sf)).select(
-        "conv_id", "turn_idx", "turn_seq"
-    )
+    return ordered_output(
+        _converted(spark, sf), turns=_turns_slim(spark, sf)
+    ).select("conv_id", "turn_idx", "turn_seq")
 
 
 def _q_dedup_exact_stats(spark, sf):

@@ -142,12 +142,60 @@ def convert_transcripts(
     )
 
 
-def ordered_output(converted: DataFrame) -> DataFrame:
-    """Stable (conv_id, turn_idx) ordering via window row_number + sort
-    (north rule: per-turn equality under stable turn ordering)."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+def ordered_output(
+    converted: DataFrame,
+    turns: DataFrame | None = None,
+    seq_bucket: int = 1 << 20,
+) -> DataFrame:
+    """Stable (conv_id, turn_idx) ordering (north rule: per-turn equality
+    under stable turn ordering): assigns ``turn_seq`` = rank of turn_idx
+    within its conversation.
+
+    Skew-safe two-level rank when ``turns`` is supplied: a plain
+    ``Window.partitionBy(conv_id)`` puts an ENTIRE conversation on one
+    task — a 10^8-turn mega-conversation at 100x scale lands on a single
+    executor core with its full payload width. Instead, turn_idx is
+    bucketed into ``seq_bucket``-wide ranges; per-(conv, bucket) counts
+    aggregate on the SLIM pre-kernel ``turns`` side (conv_id, turn_idx
+    only — never re-running the conversion kernel and never shuffling
+    payloads twice), cross-bucket offsets come from a per-conv window
+    over *bucket rows* (a 10^8-turn conv is ~100 rows there), and the
+    payload-side window partitions on (conv_id, bucket) — bounded at
+    ``seq_bucket`` rows per task regardless of conversation size.
+
+    ``turns`` must contain exactly the (conv_id, turn_idx) rows of
+    ``converted`` (i.e. the kernel's input). Without it the legacy
+    single-window path runs — fine when no conversation exceeds
+    ~``seq_bucket`` turns.
+    """
+    if turns is None:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        return (
+            converted.withColumn("turn_seq", F.row_number().over(w))
+            .sortWithinPartitions("conv_id", "turn_idx")
+        )
+    bkt = F.floor(
+        F.coalesce(F.col("turn_idx"), F.lit(0)) / F.lit(seq_bucket)
+    ).cast("long")
+    counts = (
+        turns.select("conv_id", bkt.alias("_seq_bkt"))
+        .groupBy("conv_id", "_seq_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_off = Window.partitionBy("conv_id").orderBy("_seq_bkt")
+    offsets = counts.select(
+        "conv_id", "_seq_bkt",
+        (F.sum("_n").over(w_off) - F.col("_n")).cast("long").alias("_off"),
+    )
+    w_seq = Window.partitionBy("conv_id", "_seq_bkt").orderBy("turn_idx")
     return (
-        converted.withColumn("turn_seq", F.row_number().over(w))
+        converted.withColumn("_seq_bkt", bkt)
+        .join(offsets, ["conv_id", "_seq_bkt"])
+        .withColumn(
+            "turn_seq",
+            (F.col("_off") + F.row_number().over(w_seq)).cast("int"),
+        )
+        .drop("_seq_bkt", "_off")
         .sortWithinPartitions("conv_id", "turn_idx")
     )
 
@@ -275,8 +323,12 @@ def run_pipeline(
         strict=strict, max_input_bytes=max_input_bytes,
     )
     # bucket is a pure function of conv_id — recompute it post-kernel
-    # (mapInPandas declares a fixed output schema without it)
-    ordered = bucketed(ordered_output(converted), n_buckets)
+    # (mapInPandas declares a fixed output schema without it). The slim
+    # pre-kernel projection feeds the skew-safe turn_seq counts.
+    ordered = bucketed(
+        ordered_output(converted, turns=df.select("conv_id", "turn_idx")),
+        n_buckets,
+    )
 
     (
         ordered.write.mode("overwrite")
