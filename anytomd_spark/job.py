@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="per-turn payload size guard (human-readable)")
     ap.add_argument("--strict", action="store_true",
                     help="fail a row on its first conversion warning")
+    ap.add_argument("--storage", choices=("iceberg", "parquet"), default=None,
+                    help="output/lineage backend; default auto-detects the "
+                         "Iceberg runtime and falls back to parquet")
     args = ap.parse_args(argv)
 
     try:
@@ -68,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
         salted=args.salted,
         strict=args.strict,
         max_input_bytes=max_input_bytes,
+        storage=args.storage,
     )
     print(json.dumps(result))
     return 0 if result["failures"] == 0 else 1
