@@ -421,12 +421,24 @@ def convert_xls(data: bytes) -> dict:
         max_row = max(k[0] for k in cells)
         min_col = min(k[1] for k in cells)
         max_col = max(k[1] for k in cells)
+        # location strings are only consumed by error-cell warnings —
+        # build them lazily (same treatment as convert_xlsx)
+        col_letters = [col_letter(i) for i in range(max_col - min_col + 1)]
         grid: list[list[str]] = []
+        get = cells.get
         for r in range(min_row, max_row + 1):
+            row_label = r - min_row + 1
             row_out = []
-            for c in range(min_col, max_col + 1):
-                loc = f"{name}!{col_letter(c - min_col)}{r - min_row + 1}"
-                row_out.append(_format_cell(cells.get((r, c)), loc, warnings))
+            for i, c in enumerate(range(min_col, max_col + 1)):
+                val = get((r, c))
+                if val is None:
+                    row_out.append("")
+                elif val[0] == "e":
+                    row_out.append(_format_cell(
+                        val, f"{name}!{col_letters[i]}{row_label}", warnings
+                    ))
+                else:
+                    row_out.append(_format_cell(val, "", warnings))
             grid.append(row_out)
         headers, data_rows = grid[0], grid[1:]
         sections.append(format_heading(2, name) + build_table(headers, data_rows))

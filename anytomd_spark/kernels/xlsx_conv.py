@@ -175,81 +175,102 @@ def parse_sheet_cells(
     Value tuples: ("s", str) | ("f", float) | ("d", serial float) |
     ("b", bool) | ("e", error str).
     """
+    # hot path: one handler call per XML event on multi-million-cell
+    # sheets — nonlocal scalars instead of a state dict, branches ordered
+    # by event frequency (c/v/t dominate; row is 1-per-row)
     cells: dict[tuple[int, int], tuple] = {}
-    st = {
-        "row": 0, "col": -1, "t": None, "s": None,
-        "in_v": False, "in_is_t": False, "v": [], "is_t": [],
-        "ref": None, "next_col": 0,
-    }
+    row, col, next_col = 0, -1, 0
+    t = s = None
+    in_v = in_is_t = False
+    # accumulators reused across cells (cleared, not reallocated)
+    v: list[str] = []
+    is_t: list[str] = []
+    v_append, is_t_append = v.append, is_t.append
+    v_clear, is_t_clear = v.clear, is_t.clear
+    n_shared = len(shared)
 
     def start(local, attrs):
-        if local == "row":
-            r = attrs.get("r")
-            st["row"] = int(r) - 1 if r and r.isdigit() else st["row"] + 1
-            st["next_col"] = 0
-        elif local == "c":
+        nonlocal row, col, next_col, t, s, in_v, in_is_t
+        if local == "c":
             ref = attrs.get("r")
             if ref:
                 m = _CELL_REF.match(ref)
                 if m:
-                    st["col"] = _col_index(m.group(1))
-                    st["row"] = int(m.group(2)) - 1
+                    letters, digits = m.group(1, 2)
+                    col = _col_index(letters)
+                    row = int(digits) - 1
                 else:
-                    st["col"] = st["next_col"]
+                    col = next_col
             else:
-                st["col"] = st["next_col"]
-            st["next_col"] = st["col"] + 1
-            st["t"] = attrs.get("t", "n")
+                col = next_col
+            next_col = col + 1
+            t = attrs.get("t", "n")
             sref = attrs.get("s")
-            st["s"] = int(sref) if sref and sref.isdigit() else None
-            st["v"] = []
-            st["is_t"] = []
+            s = int(sref) if sref and sref.isdigit() else None
+            v_clear()
+            is_t_clear()
         elif local == "v":
-            st["in_v"] = True
+            in_v = True
         elif local == "t":
-            st["in_is_t"] = True
+            in_is_t = True
+        elif local == "row":
+            r = attrs.get("r")
+            row = int(r) - 1 if r and r.isdigit() else row + 1
+            next_col = 0
 
     def text(data):
-        if st["in_v"]:
-            st["v"].append(data)
-        elif st["in_is_t"]:
-            st["is_t"].append(data)
+        if in_v:
+            v_append(data)
+        elif in_is_t:
+            is_t_append(data)
 
     def end(local):
+        nonlocal in_v, in_is_t
         if local == "v":
-            st["in_v"] = False
-        elif local == "t":
-            st["in_is_t"] = False
+            in_v = False
         elif local == "c":
-            key = (st["row"], st["col"])
-            t = st["t"]
-            raw = "".join(st["v"])
-            if t == "s":
-                if raw.isdigit():
-                    idx = int(raw)
-                    if idx < len(shared):
-                        cells[key] = ("s", shared[idx])
-            elif t == "str":
-                cells[key] = ("s", raw)
-            elif t == "inlineStr":
-                cells[key] = ("s", "".join(st["is_t"]))
-            elif t == "b":
-                if raw:
-                    cells[key] = ("b", raw.strip() in ("1", "true", "TRUE"))
-            elif t == "e":
-                if raw:
-                    cells[key] = ("e", raw.strip())
-            else:  # numeric
+            raw = "".join(v)
+            if t == "n":  # numeric: the common case, checked first
                 if raw:
                     try:
                         f = float(raw)
                     except ValueError:
-                        cells[key] = ("s", raw)
+                        cells[(row, col)] = ("s", raw)
                     else:
-                        if st["s"] is not None and st["s"] in date_styles:
-                            cells[key] = ("d", f)
+                        if s is not None and s in date_styles:
+                            cells[(row, col)] = ("d", f)
                         else:
-                            cells[key] = ("f", f)
+                            cells[(row, col)] = ("f", f)
+            elif t == "s":
+                if raw.isdigit():
+                    idx = int(raw)
+                    if idx < n_shared:
+                        cells[(row, col)] = ("s", shared[idx])
+            elif t == "inlineStr":
+                cells[(row, col)] = ("s", "".join(is_t))
+            elif t == "str":
+                cells[(row, col)] = ("s", raw)
+            elif t == "b":
+                if raw:
+                    cells[(row, col)] = (
+                        "b", raw.strip() in ("1", "true", "TRUE")
+                    )
+            elif t == "e":
+                if raw:
+                    cells[(row, col)] = ("e", raw.strip())
+            else:  # unknown explicit type: keep numeric fallback semantics
+                if raw:
+                    try:
+                        f = float(raw)
+                    except ValueError:
+                        cells[(row, col)] = ("s", raw)
+                    else:
+                        if s is not None and s in date_styles:
+                            cells[(row, col)] = ("d", f)
+                        else:
+                            cells[(row, col)] = ("f", f)
+        elif local == "t":
+            in_is_t = False
 
     parse_xml_events(xml, start, end, text)
     return cells
@@ -419,14 +440,26 @@ def convert_xlsx(
             min_col = min(k[1] for k in cells)
             max_col = max(k[1] for k in cells)
 
+            # warning locations are range-relative, like the reference's
+            # enumerate() over calamine's trimmed range; only error cells
+            # emit warnings, so the location string is built lazily
+            col_letters = [col_letter(i) for i in range(max_col - min_col + 1)]
             grid: list[list[str]] = []
+            get = cells.get
             for r in range(min_row, max_row + 1):
+                row_label = r - min_row + 1
                 row_out = []
-                for c in range(min_col, max_col + 1):
-                    # warning locations are range-relative, like the
-                    # reference's enumerate() over calamine's trimmed range
-                    loc = f"{name}!{col_letter(c - min_col)}{r - min_row + 1}"
-                    row_out.append(_format_cell(cells.get((r, c)), loc, warnings))
+                for i, c in enumerate(range(min_col, max_col + 1)):
+                    val = get((r, c))
+                    if val is None:
+                        row_out.append("")
+                    elif val[0] == "e":
+                        row_out.append(_format_cell(
+                            val, f"{name}!{col_letters[i]}{row_label}",
+                            warnings,
+                        ))
+                    else:
+                        row_out.append(_format_cell(val, "", warnings))
                 grid.append(row_out)
 
             headers, data_rows = grid[0], grid[1:]
