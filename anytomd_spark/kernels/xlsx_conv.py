@@ -169,16 +169,27 @@ def parse_date_styles(styles_xml: str) -> set[int]:
 
 def parse_sheet_cells(
     xml: str, shared: list[str], date_styles: set[int]
-) -> dict[tuple[int, int], tuple]:
-    """sheetData cells -> {(row, col): value-tuple}.
+) -> tuple[dict[int, str], dict[int, str]]:
+    """sheetData cells -> ({row<<32 | col: formatted string},
+    {row<<32 | col: error text}) — keys are packed ints (a two-int
+    tuple key costs ~80B more per cell; see the memory note below).
 
-    Value tuples: ("s", str) | ("f", float) | ("d", serial float) |
-    ("b", bool) | ("e", error str).
+    Cells are formatted to their final strings AT PARSE TIME (whole
+    floats -> int, bools -> TRUE/FALSE, date serials -> ISO, xlsx.rs
+    format_cell :184-237): a 210k-cell sheet otherwise holds a
+    per-cell value tuple + boxed payload (~220 B/cell of pure Python
+    object overhead) until a second formatting pass — measured ~40% of
+    the 10 MB conversion's peak RSS. Error cells keep their text in the
+    second map so the caller can emit MalformedSegment warnings with
+    range-relative locations once the bounding box is known; a later
+    write to the same cell ref clears any earlier error there (last
+    write wins, exactly like the single-map design).
     """
     # hot path: one handler call per XML event on multi-million-cell
     # sheets — nonlocal scalars instead of a state dict, branches ordered
     # by event frequency (c/v/t dominate; row is 1-per-row)
-    cells: dict[tuple[int, int], tuple] = {}
+    cells: dict[int, str] = {}
+    errors: dict[int, str] = {}
     row, col, next_col = 0, -1, 0
     t = s = None
     in_v = in_is_t = False
@@ -230,50 +241,66 @@ def parse_sheet_cells(
             in_v = False
         elif local == "c":
             raw = "".join(v)
-            if t == "n":  # numeric: the common case, checked first
+            key = (row << 32) | col  # packed key: ~80B/cell cheaper than a tuple
+            if t == "n":  # numeric: the default type, checked first
                 if raw:
                     try:
                         f = float(raw)
                     except ValueError:
-                        cells[(row, col)] = ("s", raw)
+                        cells[key] = raw
                     else:
                         if s is not None and s in date_styles:
-                            cells[(row, col)] = ("d", f)
+                            cells[key] = _format_datetime(f)
                         else:
-                            cells[(row, col)] = ("f", f)
+                            cells[key] = format_float(f)
+                    if errors:
+                        errors.pop(key, None)
             elif t == "s":
                 if raw.isdigit():
                     idx = int(raw)
                     if idx < n_shared:
-                        cells[(row, col)] = ("s", shared[idx])
+                        cells[key] = shared[idx]
+                        if errors:
+                            errors.pop(key, None)
             elif t == "inlineStr":
-                cells[(row, col)] = ("s", "".join(is_t))
+                cells[key] = "".join(is_t)
+                if errors:
+                    errors.pop(key, None)
             elif t == "str":
-                cells[(row, col)] = ("s", raw)
+                cells[key] = raw
+                if errors:
+                    errors.pop(key, None)
             elif t == "b":
                 if raw:
-                    cells[(row, col)] = (
-                        "b", raw.strip() in ("1", "true", "TRUE")
+                    cells[key] = (
+                        "TRUE" if raw.strip() in ("1", "true", "TRUE")
+                        else "FALSE"
                     )
+                    if errors:
+                        errors.pop(key, None)
             elif t == "e":
                 if raw:
-                    cells[(row, col)] = ("e", raw.strip())
-            else:  # unknown explicit type: keep numeric fallback semantics
+                    err = raw.strip()
+                    cells[key] = err
+                    errors[key] = err
+            else:  # numeric ("n" or unknown explicit type)
                 if raw:
                     try:
                         f = float(raw)
                     except ValueError:
-                        cells[(row, col)] = ("s", raw)
+                        cells[key] = raw
                     else:
                         if s is not None and s in date_styles:
-                            cells[(row, col)] = ("d", f)
+                            cells[key] = _format_datetime(f)
                         else:
-                            cells[(row, col)] = ("f", f)
+                            cells[key] = format_float(f)
+                    if errors:
+                        errors.pop(key, None)
         elif local == "t":
             in_is_t = False
 
     parse_xml_events(xml, start, end, text)
-    return cells
+    return cells, errors
 
 
 def _format_cell(
@@ -432,35 +459,37 @@ def convert_xlsx(
                     name,
                 ))
                 continue
-            cells = parse_sheet_cells(sheet_xml, shared, date_styles)
+            cells, cell_errors = parse_sheet_cells(
+                sheet_xml, shared, date_styles
+            )
             if not cells:
                 continue
-            min_row = min(k[0] for k in cells)
-            max_row = max(k[0] for k in cells)
-            min_col = min(k[1] for k in cells)
-            max_col = max(k[1] for k in cells)
+            # packed keys sort row-major: min/max key give the row bounds
+            min_row = min(cells) >> 32
+            max_row = max(cells) >> 32
+            min_col = min(k & 0xFFFFFFFF for k in cells)
+            max_col = max(k & 0xFFFFFFFF for k in cells)
 
             # warning locations are range-relative, like the reference's
-            # enumerate() over calamine's trimmed range; only error cells
-            # emit warnings, so the location string is built lazily
-            col_letters = [col_letter(i) for i in range(max_col - min_col + 1)]
+            # enumerate() over calamine's trimmed range — emitted in
+            # row-major grid order, exactly as the old per-cell pass did
+            for k in sorted(cell_errors):
+                r, c = k >> 32, k & 0xFFFFFFFF
+                warnings.append(warning(
+                    MALFORMED_SEGMENT,
+                    f"cell contains error: {cell_errors[k]}",
+                    f"{name}!{col_letter(c - min_col)}{r - min_row + 1}",
+                ))
+
             grid: list[list[str]] = []
             get = cells.get
+            empty = ""
             for r in range(min_row, max_row + 1):
-                row_label = r - min_row + 1
-                row_out = []
-                for i, c in enumerate(range(min_col, max_col + 1)):
-                    val = get((r, c))
-                    if val is None:
-                        row_out.append("")
-                    elif val[0] == "e":
-                        row_out.append(_format_cell(
-                            val, f"{name}!{col_letters[i]}{row_label}",
-                            warnings,
-                        ))
-                    else:
-                        row_out.append(_format_cell(val, "", warnings))
-                grid.append(row_out)
+                base = r << 32
+                grid.append([
+                    get(base | c, empty)
+                    for c in range(min_col, max_col + 1)
+                ])
 
             headers, data_rows = grid[0], grid[1:]
             section = format_heading(2, name) + build_table(headers, data_rows)

@@ -84,6 +84,90 @@ def test_zip_budget_guard():
     out = convert_payload(payload, None, max_zip_bytes=1000)
     assert out["error"] is not None and "exceeds limit" in out["error"]
 
+def test_adversarial_zip_rejected_without_decompression():
+    """A 256 MB-uncompressed / ~KB-file zip bomb must be rejected from the
+    central directory alone (TECH_SPEC.md:842 'abort ZIP-based parsing if
+    uncompressed size exceeds budget'): the rejection has to be near-
+    instant — decompressing first would take seconds and 256 MB of RAM."""
+    import io
+    import time
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("word/document.xml", b"\x00" * (256 << 20))
+    data = buf.getvalue()
+    assert len(data) < (1 << 20)  # ~250KB file claiming 256MB
+
+    payload = base64.b64encode(data).decode()
+    t0 = time.perf_counter()
+    out = convert_payload(payload, None, max_zip_bytes=64 << 20)
+    dt = time.perf_counter() - t0
+    assert out["error"] is not None and "exceeds limit" in out["error"]
+    assert dt < 0.5, f"rejection took {dt:.2f}s — central dir not used?"
+
+
+def test_near_limit_turn_in_memory_capped_worker():
+    """A turn near max_input_bytes through the Arrow-batch kernel (what a
+    Spark Python worker executes under mapInPandas) inside an
+    RLIMIT_AS-capped subprocess: the conversion must succeed and its
+    marginal peak RSS must stay within the batch-level 6.5x bound
+    (TECH_SPEC.md:836's 4x is a single-document target; the batch holds
+    input + both outputs — see scripts/memory_probe.py)."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import json, resource, sys
+        resource.setrlimit(resource.RLIMIT_AS, (2 << 30, 2 << 30))
+        import pandas as pd
+        from anytomd_spark.batch import convert_batch
+
+        def vm_hwm_kb():
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmHWM:"):
+                        return int(line.split()[1])
+            return 0
+
+        n_bytes = 24 << 20  # near a 32MB max_input_bytes ceiling
+        body = "<p>chunk of body text for the memory probe</p>" * 512
+        html = ("<html><body>" + body * (n_bytes // len(body))
+                + "</body></html>")
+        rows = [("c", 0, "user", html, "html", None)]
+        rows += [("c", i, "user", f"turn {i} text", "txt", None)
+                 for i in range(1, 64)]
+        pdf = pd.DataFrame(rows, columns=[
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        base_kb = vm_hwm_kb()
+        out = convert_batch(pdf, max_input_bytes=32 << 20)
+        peak_kb = vm_hwm_kb()
+        print(json.dumps({
+            "errors": int(out["error"].notna().sum()),
+            "rows": len(out),
+            "chars_out": int(out["chars_out"][0]),
+            "input_mb": len(html) / 1048576,
+            "marginal_peak_mb": (peak_kb - base_kb) / 1024,
+        }))
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["errors"] == 0 and rep["rows"] == 64
+    assert rep["chars_out"] > 1 << 20
+    # batch-level bound: the Arrow batch model holds input + markdown +
+    # plain_text concurrently resident (~3x floor for 1:1 formats);
+    # walker transients + parser buffer make up the rest. The single-doc
+    # OOXML kernels meet the reference's strict 4x — see
+    # scripts/memory_probe.py / BENCH/BASELINE.md.
+    assert rep["marginal_peak_mb"] <= 6.5 * rep["input_mb"], rep
+
+
 def test_batch_image_hint_dispatch():
     """tool='png' in the pipeline path matches convert_payload's image
     dispatch (both paths emit the reference's empty-alt stub)."""
