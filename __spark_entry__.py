@@ -138,6 +138,28 @@ def _q_dedup_simhash(spark, sf):
     return DD.simhash_pairs_from_sigs(sigs, max_hamming=3)
 
 
+def _q_dedup_clusters(spark, sf):
+    """Connected components over the verified near-dup pairs (LSH
+    candidates -> exact-Jaccard verify -> min-label propagation):
+    (doc_id, cluster_id) with cluster_id = the component's minimum id.
+    Oracle: brute-force true near-dup pairs (proven equal to the LSH set
+    by the dedup_minhash_pairs gate) + a recursive-CTE closure."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cand = DD.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    verified = DD.ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    return DD.dedup_clusters(verified).withColumnRenamed("id", "doc_id")
+
+
+def _q_dedup_cluster_survivors(spark, sf):
+    """Corpus after cluster dedup: drop every cluster member except the
+    canonical minimum id (singletons survive implicitly)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cand = DD.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    verified = DD.ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    clusters = DD.dedup_clusters(verified)
+    return DD.dedup_cluster_survivors(docs, clusters).select("doc_id")
+
+
 def _q_sim_cosine_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -469,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_lsh_bucket_stats": _q_dedup_lsh_bucket_stats,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
         # similarity family
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ann_lsh": _q_sim_ann_lsh,
@@ -705,6 +729,40 @@ def _media_frames_oracle(n: int = 48, every_ms: int = 250) -> str:
                sha256(frame) AS sha256
         FROM (VALUES {rows}) AS t(media_id, frame_idx, ts_ms, frame)
     """
+
+
+# Brute-force true-near-dup pairs + recursive-CTE transitive closure:
+# shared prefix of the dedup_clusters / dedup_cluster_survivors oracles.
+# The LSH-generated pair set is proven equal to this brute-force set by
+# the dedup_minhash_pairs gate, so the closure over it is the same graph.
+_CLUSTERS_CTE = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN list_distinct([
+                   array_to_string(t[i:i+2], ' ')
+                   FOR i IN range(1, len(t) - 1)
+               ]) ELSE [array_to_string(t, ' ')] END AS s
+        FROM toks
+    ), p AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::double
+              / len(list_distinct(a.s || b.s)) >= 0.5
+    ), edges AS (
+        SELECT a AS src, b AS dst FROM p
+        UNION ALL SELECT b, a FROM p
+    ), reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ), clusters AS (
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    )
+"""
 
 
 def _simhash_oracle(max_hamming: int = 3, blocks: int = 4,
@@ -1101,4 +1159,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(),
         "dedup_lsh_bucket_stats": _LSH_BUCKET_STATS_ORACLE,
         "text_fingerprints": _fingerprints_oracle(),
+        "dedup_clusters": _CLUSTERS_CTE + """
+            SELECT id AS doc_id, cluster_id FROM clusters
+        """,
+        "dedup_cluster_survivors": _CLUSTERS_CTE + """
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+                SELECT id FROM clusters WHERE id != cluster_id
+            )
+        """,
     }

@@ -249,6 +249,79 @@ def ngram_jaccard_pairs(
     return joined.filter(F.col("jaccard") >= threshold)
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs — the canonical
+    web-dedup step after LSH + verification: pairs only say "a ~ b";
+    choosing ONE survivor per duplicate *cluster* needs the transitive
+    closure (a~b, b~c => {a,b,c} is one group even when a~c was never
+    emitted).
+
+    Returns (id, cluster_id) for every id appearing in ``pairs``, where
+    cluster_id = the minimum id of the component (the deterministic
+    canonical survivor). Documents in no pair are implicitly their own
+    singleton cluster — callers join with left_anti/coalesce semantics
+    (see :func:`dedup_cluster_survivors`).
+
+    Algorithm: iterative min-label propagation. labels start as id;
+    each round every node takes the min of its own label and its
+    neighbors' labels; converges in O(component diameter) rounds —
+    near-dup clusters are dense and shallow, so 2-4 rounds in practice.
+    Scale notes: edges are persisted once (two shuffles per round on the
+    id-keyed join + aggregate, both on near-unique keys — skew-free);
+    labels are ``localCheckpoint``-ed per round so the iterative plan
+    does not accumulate lineage; convergence is detected from
+    ``sum(label)``, which strictly decreases until fixpoint (labels are
+    monotone non-increasing), costing one tiny aggregate per round
+    instead of a full old-vs-new join.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels, edges["src"] == labels["id"]
+        ).select(F.col("dst").alias("id"), "label")
+        labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_cluster_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor set under cluster dedup: every document except cluster
+    members that are not their cluster's canonical (minimum) id."""
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def _sig_from_bit_sums(bit_sums) -> "F.Column":
     """Pack 64 signed bit-sums into one signed long signature."""
     sig = None

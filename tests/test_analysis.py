@@ -264,3 +264,45 @@ def test_multimodal_resize_and_frames(spark):
         assert idxs == [0, 1, 2, 3]
         assert {f.ts_ms for f in fs} == {0, 250, 500, 750}
         assert all(f.n_bytes == len(bytes(f.frame)) for f in fs)
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """a~b, b~c (no a~c pair) must land in ONE cluster; isolated pairs
+    and singletons keep their own components; cluster_id is the
+    component minimum regardless of pair orientation or partitioning."""
+    import pyspark.sql.functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),          # chain -> {1,2,3}
+         (10, 11),                # isolated pair
+         (21, 20),                # orientation should not matter... (a<b
+                                  # is the operator's contract, but min
+                                  # propagation is direction-free)
+         (30, 31), (32, 31)],     # star via shared node -> {30,31,32}
+        "a long, b long",
+    ).repartition(5)
+    got = {r.id: r.cluster_id for r in DD.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 10, 11, 20, 21, 30, 31, 32, 99)],
+        "doc_id long, text string",
+    )
+    clusters = DD.dedup_clusters(pairs)
+    survivors = sorted(
+        r.doc_id
+        for r in DD.dedup_cluster_survivors(docs, clusters).collect()
+    )
+    # one per cluster (the min) + the untouched singleton 99
+    assert survivors == [1, 10, 20, 30, 99]
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 17-node path graph: diameter 16 -> needs multiple propagation
+    rounds; verifies convergence detection (sum fixpoint) is exact."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 116)], "a long, b long"
+    )
+    got = {r.id: r.cluster_id for r in DD.dedup_clusters(pairs).collect()}
+    assert got == {i: 100 for i in range(100, 117)}
