@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from anytomd_spark.analysis import corpus as CORPUS
 from anytomd_spark.analysis import dedup as DD
 from anytomd_spark.analysis import similarity as SIM
 from anytomd_spark.analysis import text_quality as TQ
@@ -252,6 +253,35 @@ def _q_text_langid(spark, sf):
 def _q_text_fingerprints(spark, sf):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return TQ.fingerprints(docs)
+
+
+def _q_corpus_split(spark, sf):
+    """Deterministic content-independent train/val/test assignment
+    (split = f(md5(id:seed))): stable under re-runs and corpus growth,
+    zero shuffle. Oracle recomputes the same md5-hex-prefix comparison."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return CORPUS.deterministic_split(docs, seed=42).select("doc_id", "split")
+
+
+def _q_corpus_shards(spark, sf):
+    """Token-budget contiguous sharding via the two-level skew-safe
+    cumulative sum (id_bucket shrunk to exercise multi-bucket offsets
+    at sf scale)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return CORPUS.token_shards(
+        docs, max_tokens_per_shard=1000, id_bucket=64
+    )
+
+
+def _q_corpus_decontaminate(spark, sf):
+    """Benchmark decontamination: every doc_id % 97 == 0 document plays
+    the benchmark set; the rest of the corpus is flagged when it shares
+    a 5-gram with any probe. Probe shingles broadcast; the corpus never
+    shuffles on content."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    scanned = docs.filter(F.col("doc_id") % 97 != 0)
+    return CORPUS.decontaminate(scanned, probes, shingle_n=5)
 
 
 def _q_rel_agg_lineitem(spark, sf):
@@ -498,6 +528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": _q_sim_ann_lsh,
         "sim_ann_ivf": _q_sim_ann_ivf,
         "sim_embedding_near_dups": _q_sim_embedding_near_dups,
+        # corpus assembly family
+        "corpus_split": _q_corpus_split,
+        "corpus_shards": _q_corpus_shards,
+        "corpus_decontaminate": _q_corpus_decontaminate,
         # text analysis family
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -728,6 +762,23 @@ def _media_frames_oracle(n: int = 48, every_ms: int = 250) -> str:
                ts_ms::int AS ts_ms, length(frame)::bigint AS n_bytes,
                sha256(frame) AS sha256
         FROM (VALUES {rows}) AS t(media_id, frame_idx, ts_ms, frame)
+    """
+
+
+def _corpus_split_oracle(seed: int = 42) -> str:
+    """Same md5-hex-prefix split thresholds, recomputed by DuckDB (hex
+    digits are ASCII-ordered, so the comparison is engine-portable)."""
+    from anytomd_spark.analysis.corpus import split_thresholds
+
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    key = f"substr(md5(doc_id || ':{seed}'), 1, 8)"
+    cases = " ".join(
+        f"WHEN {key} < '{bound}' THEN '{name}'"
+        for name, bound in split_thresholds(weights)
+    )
+    return f"""
+        SELECT doc_id, CASE {cases} ELSE 'test' END AS split
+        FROM documents
     """
 
 
@@ -1159,6 +1210,49 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(),
         "dedup_lsh_bucket_stats": _LSH_BUCKET_STATS_ORACLE,
         "text_fingerprints": _fingerprints_oracle(),
+        "corpus_split": _corpus_split_oracle(),
+        "corpus_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       (CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE array_length(regexp_split_to_array(
+                                 trim(text), '\\s+')) END)::bigint
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   (sum(n_tokens) OVER (ORDER BY doc_id)
+                    - n_tokens)::bigint AS start_offset,
+                   ((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                    // 1000)::bigint AS shard
+            FROM t
+        """,
+        "corpus_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 5 THEN list_distinct([
+                           array_to_string(t[i:i+4], ' ')
+                           FOR i IN range(1, len(t) - 3)
+                       ]) ELSE [array_to_string(t, ' ')] END AS s
+                FROM toks
+            ), probe AS (
+                SELECT DISTINCT unnest(s) AS shingle FROM sh
+                WHERE doc_id % 97 = 0
+            ), dsh AS (
+                SELECT doc_id, unnest(s) AS shingle FROM sh
+                WHERE doc_id % 97 != 0
+            ), hits AS (
+                SELECT DISTINCT dsh.doc_id FROM dsh
+                JOIN probe USING (shingle)
+            )
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) d
+            LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
         "dedup_clusters": _CLUSTERS_CTE + """
             SELECT id AS doc_id, cluster_id FROM clusters
         """,

@@ -306,3 +306,81 @@ def test_dedup_clusters_long_chain_converges(spark):
     )
     got = {r.id: r.cluster_id for r in DD.dedup_clusters(pairs).collect()}
     assert got == {i: 100 for i in range(100, 117)}
+
+
+def test_deterministic_split_stable_and_proportional(spark):
+    from anytomd_spark.analysis import corpus as CORPUS
+
+    docs = spark.range(20000).select(
+        F.col("id").alias("doc_id"), F.lit("text").alias("text")
+    )
+    a = {r.doc_id: r.split
+         for r in CORPUS.deterministic_split(docs, seed=7).collect()}
+    b = {r.doc_id: r.split
+         for r in CORPUS.deterministic_split(docs.repartition(13), seed=7)
+         .collect()}
+    assert a == b  # partitioning-independent
+    # growth-stable: a smaller corpus assigns the same splits to shared ids
+    small = {r.doc_id: r.split
+             for r in CORPUS.deterministic_split(
+                 docs.filter("doc_id < 5000"), seed=7).collect()}
+    assert all(a[k] == v for k, v in small.items())
+    from collections import Counter
+    frac = Counter(a.values())
+    assert abs(frac["train"] / 20000 - 0.9) < 0.01
+    assert abs(frac["val"] / 20000 - 0.05) < 0.005
+    # different seed -> different assignment
+    c = {r.doc_id: r.split
+         for r in CORPUS.deterministic_split(docs, seed=8).collect()}
+    assert a != c
+
+
+def test_token_shards_two_level_matches_naive(spark):
+    from anytomd_spark.analysis import corpus as CORPUS
+
+    rows = [(i, " ".join(["w"] * (i % 37 + 1))) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(7)
+    got = {r.doc_id: (r.start_offset, r.shard)
+           for r in CORPUS.token_shards(
+               docs, max_tokens_per_shard=100, id_bucket=32).collect()}
+    # naive reference
+    cum = 0
+    for i in range(500):
+        n = i % 37 + 1
+        assert got[i] == (cum, cum // 100), i
+        cum += n
+    # every shard except the last carries >= the budget's worth of starts
+    shards = sorted({v[1] for v in got.values()})
+    assert shards == list(range(shards[-1] + 1))  # contiguous ids
+
+
+def test_decontaminate_flags_and_plan(spark):
+    import contextlib
+    import io
+
+    from anytomd_spark.analysis import corpus as CORPUS
+
+    probes = spark.createDataFrame(
+        [("the secret benchmark question about unicorn arithmetic",)],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "totally clean document with original content here"),
+            (1, "leaked: the secret benchmark question about unicorn "
+                "arithmetic appears verbatim"),
+            (2, "another clean one that shares no five gram at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = CORPUS.decontaminate(docs, probes, shingle_n=5)
+    got = {r.doc_id: r.contaminated for r in out.collect()}
+    assert got == {0: False, 1: True, 2: False}
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    # the probe side must broadcast; the corpus must not shuffle on content
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
