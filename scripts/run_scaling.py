@@ -35,6 +35,11 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "400000"))
 N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 N_LARGE = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"))
+# interleaved leg ROUNDS: (N, 4N) pairs run alternating, efficiency from
+# per-leg MEDIANS — sequential all-N-then-all-4N legs let thermal /
+# host-state drift bias the ratio (observed 0.61 vs 1.04-1.11 between
+# back-to-back runs of the sequential protocol)
+ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
 PIN = os.environ.get("SPARK_GRAFT_SCALE_PIN", "0") == "1"
 CACHE_PARTS = 256
 
@@ -117,12 +122,23 @@ def ensure_cache(n_convs: int) -> str:
 
 
 def main() -> None:
+    import statistics
+
     transcripts_path = ensure_cache(N_CONVS)
 
-    warm_page_cache(transcripts_path)
-    small = run_leg(N_SMALL, transcripts_path)
-    warm_page_cache(transcripts_path)
-    large = run_leg(N_LARGE, transcripts_path)
+    smalls, larges = [], []
+    for _ in range(ROUNDS):
+        warm_page_cache(transcripts_path)
+        smalls.append(run_leg(N_SMALL, transcripts_path))
+        warm_page_cache(transcripts_path)
+        larges.append(run_leg(N_LARGE, transcripts_path))
+
+    small = {"turns": smalls[0]["turns"],
+             "sec": statistics.median(r["sec"] for r in smalls)}
+    large = {"turns": larges[0]["turns"],
+             "sec": statistics.median(r["sec"] for r in larges)}
+    small_samples = [round(r["sec"], 2) for r in smalls]
+    large_samples = [round(r["sec"], 2) for r in larges]
 
     tput_small = small["turns"] / small["sec"]
     tput_large = large["turns"] / large["sec"]
@@ -138,6 +154,9 @@ def main() -> None:
         "scaling_efficiency": round(efficiency, 3),
         "criterion": ">= 0.8",
         "pass": efficiency >= 0.8,
+        f"samples_local{N_SMALL}": small_samples,
+        f"samples_local{N_LARGE}": large_samples,
+        "rounds": ROUNDS,
     }
     print(json.dumps(result))
 
@@ -151,9 +170,11 @@ def main() -> None:
 
 Identical job (convert_transcripts over {small['turns']:,} cached
 deterministic turns), identical input files (page-cache warm), identical
-confs except master, fresh JVM per leg with a 10%-slice warmup, best of
-{REPEATS} timed run(s) (sandbox substitute for N vs 4N executors;
-pinning={'on' if PIN else 'off'}). Host control: a pure-Python
+confs except master, fresh JVM per leg with a 10%-slice warmup.
+{ROUNDS} INTERLEAVED (N, 4N) rounds — efficiency from per-leg medians;
+all wall-sec samples: N={small_samples} / 4N={large_samples}
+(best of {REPEATS} timed run(s) within each leg; sandbox substitute for
+N vs 4N executors; pinning={'on' if PIN else 'off'}). Host control: a pure-Python
 multiprocessing run of the same kernels (no Spark) measures per-core
 speed on this VM at 2406 (2 procs) / 2343 (8 procs) / 1929 (8 procs
 pinned) / 1431 (32 procs) docs/s — the hardware itself loses ~26%
