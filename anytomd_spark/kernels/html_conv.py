@@ -33,6 +33,27 @@ _FORMATTING = frozenset(
 )
 _SKIP_TAGS = frozenset(("script", "style", "head"))
 
+# hot-path early-outs: the walker's open/close chains only act on these
+# tags (plus the title/h1 captures and _SKIP_TAGS bookkeeping, which MUST
+# run before the skip check — title lives inside the skipped <head>).
+# Unhandled tags (div, span, section, ...) cost two set probes, not a
+# ~25-branch elif scan.
+_CAPTURE_OR_SKIP = frozenset(("title", "h1")) | _SKIP_TAGS
+_OPEN_TAGS = frozenset((
+    "h1", "h2", "h3", "h4", "h5", "h6", "p", "a", "img", "strong", "b",
+    "em", "i", "code", "pre", "ul", "ol", "li", "table", "thead", "tbody",
+    "tr", "th", "td", "blockquote", "hr", "br", "input",
+))
+_CLOSE_TAGS = frozenset((
+    "h1", "h2", "h3", "h4", "h5", "h6", "p", "a", "strong", "b", "em",
+    "i", "code", "pre", "ul", "ol", "li", "table", "tr", "th", "td",
+    "blockquote",
+))
+# tags that trigger implied-end-tag synthesis beyond the _P_CLOSERS set
+_IMPLIED_TRIGGERS = frozenset(
+    ("li", "dt", "dd", "td", "th", "tr", "thead", "tbody", "tfoot")
+)
+
 
 class _StrBuf:
     """Append-mostly string buffer with O(1) length and cheap tail truncation."""
@@ -213,14 +234,17 @@ class _Walker:
     # ---- open edge ----
 
     def handle_open(self, tag: str, attrs: dict[str, str | None]) -> None:
-        if self._title_capture is None and tag == "title" and self.title_text is None:
-            self._title_capture = []
-        if self._h1_capture is None and tag == "h1" and self.first_h1_text is None:
-            self._h1_capture = []
-        if tag in _SKIP_TAGS:
-            self.skip_depth += 1
-            return
-        if self.skip_depth > 0:
+        if tag in _CAPTURE_OR_SKIP:
+            if (self._title_capture is None and tag == "title"
+                    and self.title_text is None):
+                self._title_capture = []
+            if (self._h1_capture is None and tag == "h1"
+                    and self.first_h1_text is None):
+                self._h1_capture = []
+            if tag in _SKIP_TAGS:
+                self.skip_depth += 1
+                return
+        if self.skip_depth > 0 or tag not in _OPEN_TAGS:
             return
         if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
             self.both_ensure_blank_line()
@@ -305,20 +329,21 @@ class _Walker:
     # ---- close edge ----
 
     def handle_close(self, tag: str) -> None:
-        if tag == "title" and self._title_capture is not None:
-            text = "".join(self._title_capture).strip()
-            if text and self.title_text is None:
-                self.title_text = text
-            self._title_capture = None
-        if tag == "h1" and self._h1_capture is not None:
-            text = "".join(self._h1_capture).strip()
-            if text and self.first_h1_text is None:
-                self.first_h1_text = text
-            self._h1_capture = None
-        if tag in _SKIP_TAGS:
-            self.skip_depth = max(0, self.skip_depth - 1)
-            return
-        if self.skip_depth > 0:
+        if tag in _CAPTURE_OR_SKIP:
+            if tag == "title" and self._title_capture is not None:
+                text = "".join(self._title_capture).strip()
+                if text and self.title_text is None:
+                    self.title_text = text
+                self._title_capture = None
+            if tag == "h1" and self._h1_capture is not None:
+                text = "".join(self._h1_capture).strip()
+                if text and self.first_h1_text is None:
+                    self.first_h1_text = text
+                self._h1_capture = None
+            if tag in _SKIP_TAGS:
+                self.skip_depth = max(0, self.skip_depth - 1)
+                return
+        if self.skip_depth > 0 or tag not in _CLOSE_TAGS:
             return
         if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
             if self.pending_heading is not None:
@@ -465,21 +490,25 @@ class _EdgeParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.walker = walker
         self.stack: list[str] = []
+        self._p_open = 0  # open <p> count: guards the per-tag p-scan
 
     # -- implied end-tag synthesis (subset of WHATWG tree construction) --
 
     def _close_implied_for(self, tag: str) -> None:
-        if tag == "li":
-            self._close_up_to("li", stop_at=("ul", "ol"))
-        elif tag in ("dt", "dd"):
-            self._close_up_to_any(("dt", "dd"), stop_at=("dl",))
-        elif tag in ("td", "th"):
-            self._close_up_to_any(("td", "th"), stop_at=("tr", "table"))
-        elif tag == "tr":
-            self._close_up_to("tr", stop_at=("table", "thead", "tbody", "tfoot"))
-        elif tag in ("thead", "tbody", "tfoot"):
-            self._close_up_to("tr", stop_at=("table",))
-        if tag in _P_CLOSERS:
+        if tag in _IMPLIED_TRIGGERS:
+            if tag == "li":
+                self._close_up_to("li", stop_at=("ul", "ol"))
+            elif tag in ("dt", "dd"):
+                self._close_up_to_any(("dt", "dd"), stop_at=("dl",))
+            elif tag in ("td", "th"):
+                self._close_up_to_any(("td", "th"), stop_at=("tr", "table"))
+            elif tag == "tr":
+                self._close_up_to(
+                    "tr", stop_at=("table", "thead", "tbody", "tfoot")
+                )
+            else:  # thead / tbody / tfoot
+                self._close_up_to("tr", stop_at=("table",))
+        if self._p_open and tag in _P_CLOSERS:
             stack = self.stack
             for idx in range(len(stack) - 1, -1, -1):
                 if stack[idx] == "p":
@@ -502,7 +531,10 @@ class _EdgeParser(HTMLParser):
                 return
 
     def _pop_close(self) -> None:
-        self.walker.handle_close(self.stack.pop())
+        t = self.stack.pop()
+        if t == "p":
+            self._p_open -= 1
+        self.walker.handle_close(t)
 
     # -- tokenizer callbacks --
 
@@ -517,6 +549,8 @@ class _EdgeParser(HTMLParser):
             return
         self._close_implied_for(tag)
         self.stack.append(tag)
+        if tag == "p":
+            self._p_open += 1
         self.walker.handle_open(tag, attrs_dict)
 
     def handle_startendtag(self, tag: str, attrs: list) -> None:
@@ -527,13 +561,19 @@ class _EdgeParser(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
             return
-        # scan from the top without building a reversed copy (hot path)
         stack = self.stack
-        walker_close = self.walker.handle_close
+        # fast path: well-formed HTML closes the top of the stack
+        if stack and stack[-1] == tag:
+            stack.pop()
+            if tag == "p":
+                self._p_open -= 1
+            self.walker.handle_close(tag)
+            return
+        # scan from the top without building a reversed copy (hot path)
         for i in range(len(stack) - 1, -1, -1):
             if stack[i] == tag:
                 while len(stack) > i:
-                    walker_close(stack.pop())
+                    self._pop_close()
                 return
         # stray end tag with no matching open: ignored
 
