@@ -172,7 +172,11 @@ class _Walker:
     def push_str(self, s: str) -> None:
         if not s:
             return
-        self.out.push(s)
+        # inlined _StrBuf.push: this + plain_push_str are the two hottest
+        # per-event calls (~450k/doc-batch) — one attribute hop, no frame
+        buf = self.out
+        buf.chunks.append(s)
+        buf.length += len(s)
         stripped = len(s.rstrip("\n"))
         if stripped == 0:
             self.trailing_newlines += len(s)
@@ -199,7 +203,9 @@ class _Walker:
     def plain_push_str(self, s: str) -> None:
         if not s:
             return
-        self.plain.push(s)
+        buf = self.plain
+        buf.chunks.append(s)
+        buf.length += len(s)
         stripped = len(s.rstrip("\n"))
         if stripped == 0:
             self.plain_trailing_newlines += len(s)
@@ -637,9 +643,22 @@ def _fast_feed(parser: "_EdgeParser", text: str) -> None:
             continue
         start = pos
         pos = m.end()
-        end_name, start_name, attrs_raw, selfclose = m.group(1, 2, 3, 4)
-        if start_name is not None:
-            tag = start_name.lower()
+        # lastindex discriminates token kind without materializing the
+        # group tuple: None = text/comment/doctype/PI/lone-'<',
+        # 1 = end tag, >=2 = start tag (groups 2-4)
+        li = m.lastindex
+        if li is None:
+            if text[start] == "<" and pos - start >= 2 \
+                    and text[start + 1] in "!?":
+                continue  # comments/doctype/PI are ignored by the walker
+            # plain text run, or a lone '<' emitted as literal text
+            token = text[start:pos]
+            if "&" in token:
+                token = _unescape(token)
+            handle_data(token)
+        elif li >= 2:
+            tag = m.group(2).lower()
+            attrs_raw = m.group(3)
             attrs = []
             if attrs_raw:
                 for am in _ATTR_RE.finditer(attrs_raw):
@@ -647,7 +666,7 @@ def _fast_feed(parser: "_EdgeParser", text: str) -> None:
                     if val is not None and "&" in val:
                         val = _unescape(val)
                     attrs.append((am.group(1).lower(), val))
-            if selfclose:
+            if m.group(4):
                 parser.handle_startendtag(tag, attrs)
             else:
                 parser.handle_starttag(tag, attrs)
@@ -663,16 +682,8 @@ def _fast_feed(parser: "_EdgeParser", text: str) -> None:
                         handle_data(raw)
                     parser.handle_endtag(tag)
                     pos = cm.end() if cm else n
-        elif end_name is not None:
-            parser.handle_endtag(end_name.lower())
-        elif text[start] == "<" and pos - start >= 2 and text[start + 1] in "!?":
-            continue  # comments/doctype/PI are ignored by the walker
         else:
-            # plain text run, or a lone '<' emitted as literal text
-            token = text[start:pos]
-            if "&" in token:
-                token = _unescape(token)
-            handle_data(token)
+            parser.handle_endtag(m.group(1).lower())
 
 
 def convert_html(data: bytes, fast: bool = True) -> dict:
