@@ -142,6 +142,57 @@ def convert_transcripts(
     )
 
 
+def convert_transcripts_struct(
+    df: DataFrame,
+    partitions: int | None = None,
+    salt_buckets: int = 16,
+    repartition: bool = False,
+    strict: bool = False,
+    max_input_bytes: int | None = None,
+) -> DataFrame:
+    """Same kernel as :func:`convert_transcripts`, bound as a
+    STRUCT-returning scalar pandas UDF over (text, tool) instead of
+    mapInPandas over whole rows.
+
+    Why it exists: mapInPandas ships EVERY column across the Arrow
+    boundary in both directions — the kernel reads only text+tool, so
+    conv_id/role/ts/turn_idx make two pointless Arrow crossings per
+    turn. The scalar UDF keeps passthrough columns JVM-side entirely;
+    only the payload goes to Python and only the outputs come back.
+    Output schema and values are identical (equivalence-tested); see
+    PLANS.md round-3 for the measured comparison.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    out = df
+    if repartition:
+        n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        out = df.repartition(
+            int(n),
+            F.xxhash64("conv_id"),
+            F.pmod(F.col("turn_idx"), F.lit(salt_buckets)),
+        )
+
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    @pandas_udf(OUTPUT_SPARK_SCHEMA)
+    def _conv(text, tool):
+        import pandas as pd
+
+        batch = pd.DataFrame({"text": text, "tool": tool})
+        res = convert_batch(
+            batch, strict=strict, max_input_bytes=max_input_bytes
+        )
+        return res[[
+            "markdown", "plain_text", "title", "fmt", "error",
+            "n_warnings", "warning_codes", "bytes_in", "chars_out",
+        ]]
+
+    return out.withColumn("_conv", _conv("text", "tool")).select(
+        "*", "_conv.*"
+    ).drop("_conv")
+
+
 def ordered_output(
     converted: DataFrame,
     turns: DataFrame | None = None,

@@ -309,3 +309,18 @@ def test_catalog_table_source(spark, tmp_path):
         assert got.filter("markdown is null").count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS transcripts_tbl")
+
+
+def test_struct_udf_binding_equivalent(spark):
+    """convert_transcripts_struct (scalar struct pandas_udf over
+    text+tool) must produce byte-identical rows to the mapInPandas
+    binding — the measured A/B and the prunability property live in
+    PLANS.md round-3."""
+    from anytomd_spark.pipeline import convert_transcripts_struct
+
+    df = generate_transcripts(spark, n_convs=25, seed=21, mega_every=0,
+                              partitions=3)
+    key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
+    a = sorted(convert_transcripts(df).collect(), key=key)
+    b = sorted(convert_transcripts_struct(df).collect(), key=key)
+    assert a == b
