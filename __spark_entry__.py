@@ -34,11 +34,21 @@ SF0001 = "/root/testdata/sf0.001"
 # Signature tables persisted by the simhash / lsh-bucket-stats queries so
 # the DuckDB oracles can recompute everything downstream of the xxhash64
 # primitive (blocking, pair Hamming, bucket stats) from the same input.
-# Fixed paths: oracle_sql() is collected before the queries run, but the
-# driver executes each oracle AFTER its Spark query has materialized.
+# Paths are KEYED BY SCALE FACTOR: the bench runs the same queries at
+# sf0.1 and must not clobber the parquet the correctness oracles (always
+# the sf below, env-overridable) read. Oracle SQL strings are collected
+# before the queries run, but each oracle executes AFTER its Spark query
+# has materialized its table.
+import os as _os
+
 ORACLE_INPUTS = "/tmp/anytomd_oracle_inputs"
-SIMHASH_SIGS = f"{ORACLE_INPUTS}/simhash_sigs"
-MINHASH_BANDED = f"{ORACLE_INPUTS}/minhash_banded"
+_CORRECTNESS_SF = _os.environ.get(
+    "SPARK_GRAFT_SF_DIR_CORRECTNESS", "/root/testdata/sf0.01"
+)
+
+
+def _sig_path(kind: str, sf_dir: str) -> str:
+    return f"{ORACLE_INPUTS}/{kind}_{_os.path.basename(sf_dir.rstrip('/'))}"
 
 
 def _converted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,8 +144,9 @@ def _q_dedup_simhash(spark, sf):
     (bit_count(xor)) in DuckDB — value-level for everything except the
     xxhash64 primitive itself."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    DD.simhash64(docs).write.mode("overwrite").parquet(SIMHASH_SIGS)
-    sigs = spark.read.parquet(SIMHASH_SIGS)
+    path = _sig_path("simhash_sigs", sf)
+    DD.simhash64(docs).write.mode("overwrite").parquet(path)
+    sigs = spark.read.parquet(path)
     return DD.simhash_pairs_from_sigs(sigs, max_hamming=3)
 
 
@@ -347,10 +358,11 @@ def _q_dedup_lsh_bucket_stats(spark, sf):
     recomputes the bucket-size stats from the same rows (value-level for
     the derived logic; the band hash itself is xxhash64-bound)."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
+    path = _sig_path("minhash_banded", sf)
     DD.minhash_banded(docs, num_hashes=16, bands=4).write.mode(
         "overwrite"
-    ).parquet(MINHASH_BANDED)
-    return DD.bucket_stats_from_banded(spark.read.parquet(MINHASH_BANDED))
+    ).parquet(path)
+    return DD.bucket_stats_from_banded(spark.read.parquet(path))
 
 
 def _q_pipeline_training_corpus(spark, sf):
@@ -415,7 +427,9 @@ def _q_stream_stateful_dedup(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_stateful_dedup did not finish in 300s")
     return spark.read.parquet(sink).select(
         "conv_id", "turn_idx", "content_md5", "is_dup", "n_seen"
     )
@@ -466,7 +480,9 @@ def _q_stream_windowed_metrics(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_windowed_metrics did not finish in 300s")
     return spark.read.parquet(sink).select(
         F.unix_timestamp("window_start").alias("window_start"),
         "fmt", "n_turns", "bytes_in", "chars_out", "n_failures",
@@ -830,7 +846,7 @@ def _simhash_oracle(max_hamming: int = 3, blocks: int = 4,
     return f"""
         WITH sigs AS (
             SELECT doc_id, simhash
-            FROM read_parquet('{SIMHASH_SIGS}/*.parquet')
+            FROM read_parquet('{_sig_path("simhash_sigs", _CORRECTNESS_SF)}/*.parquet')
         ), blocked AS (
             SELECT doc_id, blk,
                    ((simhash >> (blk * {width})) & {mask}) AS blk_val
@@ -907,7 +923,7 @@ def _fingerprints_oracle() -> str:
 _LSH_BUCKET_STATS_ORACLE = f"""
     WITH bucket_sizes AS (
         SELECT band, band_hash, count(*) AS bucket_size
-        FROM read_parquet('{MINHASH_BANDED}/*.parquet')
+        FROM read_parquet('{_sig_path("minhash_banded", _CORRECTNESS_SF)}/*.parquet')
         GROUP BY band, band_hash
     )
     SELECT band, count(*) AS n_buckets,

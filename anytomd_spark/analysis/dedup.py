@@ -305,6 +305,18 @@ def dedup_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # never converged: a component with diameter > max_iters would be
+        # silently reported as multiple clusters — surface it
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"dedup_clusters did not converge within max_iters="
+            f"{max_iters}; components with diameter > {max_iters} are "
+            f"split across multiple cluster_ids",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 

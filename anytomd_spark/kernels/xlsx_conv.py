@@ -206,7 +206,11 @@ def parse_sheet_cells(
             ref = attrs.get("r")
             if ref:
                 m = _CELL_REF.match(ref)
-                if m:
+                # spreadsheet bounds guard (Excel caps at XFD/1048576):
+                # a malformed ref like AAAAAAA1 would otherwise produce a
+                # col that bleeds into the packed key's row bits AND a
+                # multi-billion-column bounding box in the grid loop
+                if m and len(m.group(1)) <= 3 and len(m.group(2)) <= 7:
                     letters, digits = m.group(1, 2)
                     col = _col_index(letters)
                     row = int(digits) - 1

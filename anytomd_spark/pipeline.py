@@ -96,6 +96,20 @@ def _ship_package(spark: SparkSession) -> None:
     sc._anytomd_shipped = True
 
 
+def _salted_repartition(
+    df: DataFrame, partitions: int | None, salt_buckets: int
+) -> DataFrame:
+    """Split mega-conversations across tasks before the kernel: the salted
+    key (hash(conv_id), pmod(turn_idx, salt)) — shared by both kernel
+    bindings so the salting scheme cannot drift between them."""
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return df.repartition(
+        int(n),
+        F.xxhash64("conv_id"),
+        F.pmod(F.col("turn_idx"), F.lit(salt_buckets)),
+    )
+
+
 def convert_transcripts(
     df: DataFrame,
     partitions: int | None = None,
@@ -119,14 +133,7 @@ def convert_transcripts(
     north rule requires for output ordering happens in ``ordered_output``'s
     window shuffle regardless.
     """
-    out = df
-    if repartition:
-        n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        out = df.repartition(
-            int(n),
-            F.xxhash64("conv_id"),
-            F.pmod(F.col("turn_idx"), F.lit(salt_buckets)),
-        )
+    out = _salted_repartition(df, partitions, salt_buckets) if repartition else df
     # passthrough columns survive the kernel: output schema = input + outputs
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -164,16 +171,7 @@ def convert_transcripts_struct(
     """
     from pyspark.sql.functions import pandas_udf
 
-    out = df
-    if repartition:
-        n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        out = df.repartition(
-            int(n),
-            F.xxhash64("conv_id"),
-            F.pmod(F.col("turn_idx"), F.lit(salt_buckets)),
-        )
-
-    import pandas as pd  # noqa: F401 (worker-side)
+    out = _salted_repartition(df, partitions, salt_buckets) if repartition else df
 
     @pandas_udf(OUTPUT_SPARK_SCHEMA)
     def _conv(text, tool):
@@ -239,14 +237,25 @@ def ordered_output(
         (F.sum("_n").over(w_off) - F.col("_n")).cast("long").alias("_off"),
     )
     w_seq = Window.partitionBy("conv_id", "_seq_bkt").orderBy("turn_idx")
+    # null-safe on conv_id: a plain inner equi-join would silently DROP
+    # rows with a null conv_id (null never equals null) even though the
+    # same rows exist on the counts side; the legacy window kept them
+    off = offsets.select(
+        F.col("conv_id").alias("_oc"), F.col("_seq_bkt").alias("_ob"),
+        "_off",
+    )
     return (
         converted.withColumn("_seq_bkt", bkt)
-        .join(offsets, ["conv_id", "_seq_bkt"])
+        .join(
+            off,
+            F.col("conv_id").eqNullSafe(F.col("_oc"))
+            & (F.col("_seq_bkt") == F.col("_ob")),
+        )
         .withColumn(
             "turn_seq",
             (F.col("_off") + F.row_number().over(w_seq)).cast("int"),
         )
-        .drop("_seq_bkt", "_off")
+        .drop("_seq_bkt", "_off", "_oc", "_ob")
         .sortWithinPartitions("conv_id", "turn_idx")
     )
 
@@ -408,7 +417,10 @@ def run_pipeline(
         n_buckets,
     )
 
-    # run totals ride on the write job itself (no extra pass)
+    # run totals + the set of buckets actually written ride on the write
+    # job itself (no extra pass); the observed bucket set — not
+    # range(n_buckets) — scopes the lineage read, so stale buckets left
+    # by earlier runs are never re-attributed to this run_id
     obs = Observation(f"anytomd_run_{run_id}")
     observed = ordered.observe(
         obs,
@@ -416,15 +428,22 @@ def run_pipeline(
         F.sum(
             F.when(F.col("error").isNotNull(), 1).otherwise(0)
         ).alias("failures"),
+        F.collect_set("bucket").alias("buckets"),
     )
     table_io.write_output(observed, output_path, storage)
     stats = obs.get
+    written_buckets = sorted(stats["buckets"] or [])
+    if not written_buckets:
+        # empty input: nothing written (and possibly no parquet files to
+        # re-read at all) — report zero work, append no lineage
+        return {"run_id": run_id, "rows": 0, "failures": 0, "buckets": 0,
+                "storage": storage}
 
     # per-bucket lineage from the committed output, metric columns only
-    # (partition-pruned to this run's buckets; payload columns never read)
+    # (partition-pruned to the written buckets; payloads never read)
     out_slim = (
         table_io.read_output(spark, output_path, storage)
-        .filter(F.col("bucket").isin(run_buckets))
+        .filter(F.col("bucket").isin(written_buckets))
         .select("bucket", "fmt", "bytes_in", "chars_out", "error",
                 "n_warnings")
     )
@@ -437,6 +456,6 @@ def run_pipeline(
         "run_id": run_id,
         "rows": stats["rows"],
         "failures": stats["failures"] or 0,
-        "buckets": len(run_buckets),
+        "buckets": len(written_buckets),
         "storage": storage,
     }

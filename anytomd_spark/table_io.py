@@ -26,7 +26,21 @@ ICEBERG_CLASS = "org.apache.iceberg.spark.source.IcebergSource"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when the iceberg-spark-runtime jar is on the JVM classpath."""
+    """True when the iceberg-spark-runtime jar is loadable by the JVM.
+
+    Probes the driver thread's CONTEXT classloader first: jars added via
+    ``--packages``/``--jars`` live in Spark's MutableURLClassLoader, which
+    the system classloader (``Class.forName`` with no loader) cannot see.
+    """
+    try:
+        loader = (
+            spark._jvm.java.lang.Thread.currentThread().getContextClassLoader()
+        )
+        if loader is not None:
+            loader.loadClass(ICEBERG_CLASS)
+            return True
+    except Exception:
+        pass
     try:
         spark._jvm.java.lang.Class.forName(ICEBERG_CLASS)
         return True
@@ -58,10 +72,13 @@ def write_output(df: DataFrame, target: str, storage: str) -> None:
     mode, a filesystem path in parquet mode.
     """
     if storage == "iceberg":
-        try:
+        # create-if-missing decided by an explicit catalog probe — a bare
+        # try/except around overwritePartitions() would misread a commit
+        # conflict or storage error as "table missing" and re-run the
+        # whole job into a doomed create()
+        if df.sparkSession.catalog.tableExists(target):
             df.writeTo(target).overwritePartitions()
-        except Exception:
-            # first run: table does not exist yet
+        else:
             df.writeTo(target).partitionedBy("bucket").create()
     else:
         (
@@ -95,9 +112,9 @@ def read_output(
 
 def append_lineage(df: DataFrame, target: str, storage: str) -> None:
     if storage == "iceberg":
-        try:
+        if df.sparkSession.catalog.tableExists(target):
             df.writeTo(target).append()
-        except Exception:
+        else:
             df.writeTo(target).create()
     else:
         df.write.mode("append").parquet(target)

@@ -324,3 +324,64 @@ def test_struct_udf_binding_equivalent(spark):
     a = sorted(convert_transcripts(df).collect(), key=key)
     b = sorted(convert_transcripts_struct(df).collect(), key=key)
     assert a == b
+
+
+def test_run_pipeline_empty_input(spark, tmp_path):
+    """Zero input rows: run_pipeline must report zero work, append no
+    lineage, and NOT crash on re-reading a nonexistent output (review
+    finding: range(n_buckets) scoping + empty write)."""
+    from anytomd_spark.transcripts import TRANSCRIPTS_SCHEMA
+
+    empty = spark.createDataFrame([], schema=TRANSCRIPTS_SCHEMA)
+    res = run_pipeline(spark, empty, str(tmp_path / "out"),
+                       str(tmp_path / "lin"), n_buckets=4)
+    assert res == {"run_id": res["run_id"], "rows": 0, "failures": 0,
+                   "buckets": 0, "storage": "parquet"}
+    assert not (tmp_path / "lin").exists()
+
+
+def test_run_pipeline_no_resume_does_not_reattribute_stale_buckets(
+    spark, tmp_path
+):
+    """resume=False over an output holding ANOTHER run's buckets: lineage
+    for the new run must cover only the buckets it actually wrote, never
+    re-attributing the stale ones (review finding)."""
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lin")
+    df_all = generate_transcripts(spark, n_convs=30, seed=3, mega_every=0,
+                                  partitions=2)
+    run_pipeline(spark, df_all, out, lin, run_id="first", n_buckets=8)
+    first_buckets = {
+        r.bucket for r in spark.read.parquet(lin)
+        .filter("run_id = 'first'").select("bucket").collect()
+    }
+    assert len(first_buckets) > 1
+
+    # second run over a SUBSET of conversations, resume off
+    one_conv = df_all.filter(
+        F.col("conv_id") == df_all.select("conv_id").first().conv_id
+    )
+    res = run_pipeline(spark, one_conv, out, lin, run_id="second",
+                       n_buckets=8, resume=False)
+    second = spark.read.parquet(lin).filter("run_id = 'second'")
+    second_buckets = {r.bucket for r in second.select("bucket").collect()}
+    assert second_buckets < first_buckets  # strictly fewer
+    assert res["buckets"] == len(second_buckets)
+    assert second.agg(F.sum("n_rows")).collect()[0][0] == one_conv.count()
+
+
+def test_ordered_output_null_conv_id_not_dropped(spark):
+    """A null conv_id must survive the two-level path (null-safe join),
+    exactly as the legacy window kept it (review finding)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(None, 0), (None, 1), ("c", 0)],
+        columns=["conv_id", "turn_idx"],
+    )
+    df = spark.createDataFrame(pdf, "conv_id string, turn_idx int") \
+        .withColumn("payload", F.lit("p"))
+    turns = df.select("conv_id", "turn_idx")
+    rows = ordered_output(df, turns=turns, seq_bucket=64).collect()
+    assert len(rows) == 3
+    got = {(r.conv_id, r.turn_idx): r.turn_seq for r in rows}
+    assert got[(None, 0)] == 1 and got[(None, 1)] == 2 and got[("c", 0)] == 1
