@@ -261,6 +261,42 @@ def _q_text_langid(spark, sf):
     )
 
 
+def _q_text_redact_pii(spark, sf):
+    """PII scrub gate: deterministic email/IP/phone spans are injected
+    into every document (derivable in ANSI SQL), then redacted; the
+    oracle recomputes the injection AND the redaction and the md5 of the
+    scrubbed text must match value-level."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did, F.lit("@example.com or 10.0."),
+            F.pmod("doc_id", F.lit(256)).cast("string"), F.lit("."),
+            F.pmod("doc_id", F.lit(100)).cast("string"),
+            F.lit(" call +1 555-01"),
+            F.lpad(F.pmod("doc_id", F.lit(100)).cast("string"), 2, "0"),
+        ),
+    )
+    out = TQ.redact_pii(salted)
+    return out.select(
+        "doc_id", "n_pii", F.md5("redacted").alias("redacted_md5")
+    )
+
+
+def _q_text_repetition(spark, sf):
+    """Gopher-style repetition signals per document."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = TQ.repetition_scores(docs)
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
+    )
+
+
 def _q_text_fingerprints(spark, sf):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return TQ.fingerprints(docs)
@@ -554,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": _q_text_quality_filter,
         "text_langid": _q_text_langid,
         "text_fingerprints": _q_text_fingerprints,
+        "text_redact_pii": _q_text_redact_pii,
+        "text_repetition": _q_text_repetition,
         # relational operator competence
         "rel_agg_lineitem": _q_rel_agg_lineitem,
         "rel_join_topcustomers": _q_rel_join_topcustomers,
@@ -779,6 +817,73 @@ def _media_frames_oracle(n: int = 48, every_ms: int = 250) -> str:
                sha256(frame) AS sha256
         FROM (VALUES {rows}) AS t(media_id, frame_idx, ts_ms, frame)
     """
+
+
+def _redact_pii_oracle() -> str:
+    """DuckDB twin of text_redact_pii: same injected spans, same three
+    redaction rules in the same order (counts taken on the progressively
+    redacted text, exactly like TQ.redact_pii), md5 of the result."""
+    from anytomd_spark.analysis.text_quality import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    salted = (
+        "text || ' contact user' || doc_id || '@example.com or 10.0.' || "
+        "(doc_id % 256) || '.' || (doc_id % 100) || ' call +1 555-01' || "
+        "lpad((doc_id % 100)::varchar, 2, '0')"
+    )
+    return """
+        WITH s0 AS (
+            SELECT doc_id, {salted} AS s FROM documents
+        ), s1 AS (
+            SELECT doc_id, s,
+                   regexp_replace(s, '{email}', '<EMAIL>', 'g') AS r1
+            FROM s0
+        ), s2 AS (
+            SELECT doc_id, s, r1,
+                   regexp_replace(r1, '{ip}', '<IP>', 'g') AS r2
+            FROM s1
+        )
+        SELECT doc_id,
+               (len(regexp_extract_all(s, '{email}'))
+                + len(regexp_extract_all(r1, '{ip}'))
+                + len(regexp_extract_all(r2, '{phone}')))::int AS n_pii,
+               md5(regexp_replace(r2, '{phone}', '<PHONE>', 'g'))
+                   AS redacted_md5
+        FROM s2
+    """.format(salted=salted, email=PII_EMAIL, ip=PII_IPV4, phone=PII_PHONE)
+
+
+_REPETITION_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               list_filter([trim(x) FOR x IN string_split(text, chr(10))],
+                           x -> len(x) > 0) AS lines,
+               CASE WHEN len(t) >= 2 THEN
+                   [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+               ELSE [array_to_string(t, ' ')] END AS b2,
+               CASE WHEN len(t) >= 3 THEN
+                   [array_to_string(t[i:i+2], ' ')
+                    FOR i IN range(1, len(t) - 1)]
+               ELSE [array_to_string(t, ' ')] END AS b3
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(lines) > 0 THEN
+                 1.0 - len(list_distinct(lines))::double / len(lines)
+                 ELSE 0.0 END, 6) AS dup_line_frac,
+           round(CASE WHEN len(b2) > 0 THEN
+                 1.0 - len(list_distinct(b2))::double / len(b2)
+                 ELSE 0.0 END, 6) AS dup_2gram_frac,
+           round(CASE WHEN len(b3) > 0 THEN
+                 1.0 - len(list_distinct(b3))::double / len(b3)
+                 ELSE 0.0 END, 6) AS dup_3gram_frac
+    FROM g
+"""
 
 
 def _corpus_split_oracle(seed: int = 42) -> str:
@@ -1226,6 +1331,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(),
         "dedup_lsh_bucket_stats": _LSH_BUCKET_STATS_ORACLE,
         "text_fingerprints": _fingerprints_oracle(),
+        "text_redact_pii": _redact_pii_oracle(),
+        "text_repetition": _REPETITION_ORACLE,
         "corpus_split": _corpus_split_oracle(),
         "corpus_shards": """
             WITH t AS (

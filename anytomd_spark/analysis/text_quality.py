@@ -137,6 +137,68 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("lang_pred", pred)
 
 
+# ---- PII redaction (training-data scrub stage) --------------------------
+# Dialect-portable patterns (Java regex + RE2): applied in a FIXED order
+# (email, then IPv4, then phone) so Spark and the SQL oracle agree even
+# where patterns could overlap.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d[\d\- ]{7,}\d"
+_PII_RULES = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4s / phone-like numbers to typed placeholders —
+    the standard pre-training redaction pass. Pure column expressions
+    (whole-stage codegen); adds ``redacted`` and a per-document ``n_pii``
+    match count (counted BEFORE replacement, so overlapping rules cannot
+    double-count a span already rewritten)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_pii = None
+    redacted = c
+    for pattern, token in _PII_RULES:
+        n = F.size(F.regexp_extract_all(redacted, F.lit(pattern), F.lit(0)))
+        n_pii = n if n_pii is None else n_pii + n
+        redacted = F.regexp_replace(redacted, pattern, token)
+    return docs.withColumns({"redacted": redacted, "n_pii": n_pii})
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    * ``dup_line_frac``   — 1 − distinct non-empty lines / lines
+    * ``dup_2gram_frac``  — 1 − distinct word bigrams / bigrams
+    * ``dup_3gram_frac``  — 1 − distinct word trigrams / trigrams
+
+    High values mark boilerplate / degenerate repetition. All built-in
+    column expressions; shingle semantics shared with the dedup module.
+    """
+    from anytomd_spark.analysis.dedup import tokenize, word_shingles
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), F.trim),
+        lambda x: F.length(x) > 0,
+    )
+
+    def dup_frac(arr):
+        return F.when(
+            F.size(arr) > 0,
+            1.0 - F.size(F.array_distinct(arr)) / F.size(arr),
+        ).otherwise(F.lit(0.0))
+
+    toks = tokenize(text_col)
+    return docs.withColumns({
+        "dup_line_frac": dup_frac(lines),
+        "dup_2gram_frac": dup_frac(word_shingles(toks, 2)),
+        "dup_3gram_frac": dup_frac(word_shingles(toks, 3)),
+    })
+
+
 _WIN_K, _WIN_W = 8, 4
 _WIN_MOD = np.uint64((1 << 61) - 1)
 _WIN_LOW53 = np.uint64((1 << 53) - 1)

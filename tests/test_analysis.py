@@ -384,3 +384,34 @@ def test_decontaminate_flags_and_plan(spark):
     plan = buf.getvalue()
     # the probe side must broadcast; the corpus must not shuffle on content
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [(0, "mail me at alice.smith+x@corp.example.org thanks"),
+         (1, "server 192.168.001.42 and backup 10.0.0.1 are up"),
+         (2, "call +1 555-0100 200 today"),
+         (3, "nothing sensitive here at all")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TQ.redact_pii(docs).collect()}
+    assert got[0].redacted == "mail me at <EMAIL> thanks"
+    assert got[0].n_pii == 1
+    assert got[1].redacted == "server <IP> and backup <IP> are up"
+    assert got[1].n_pii == 2
+    assert "<PHONE>" in got[2].redacted and got[2].n_pii == 1
+    assert got[3].redacted == got[3].text and got[3].n_pii == 0
+
+
+def test_repetition_scores(spark):
+    docs = spark.createDataFrame(
+        [(0, "spam spam spam spam spam spam"),
+         (1, "all words here are fully distinct tokens"),
+         (2, "dup line\ndup line\nfresh line")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TQ.repetition_scores(docs).collect()}
+    # 5 bigrams, all "spam spam" -> 1 - 1/5
+    assert abs(got[0].dup_2gram_frac - 0.8) < 1e-9
+    assert got[1].dup_2gram_frac == 0.0 and got[1].dup_3gram_frac == 0.0
+    assert abs(got[2].dup_line_frac - (1 - 2 / 3)) < 1e-9
