@@ -492,6 +492,14 @@ def _render_table(tc: dict, plain: bool) -> str:
 class _EdgeParser(HTMLParser):
     """Tokenizer -> Open/Close edge stream with implied end tags."""
 
+    # html.parser only treats script/style as raw text; the WHATWG spec
+    # (and html5ever, which the reference uses) also parses title and
+    # textarea as RCDATA — '<p>' inside <title> is TEXT, not a tag.
+    # Registering them here keeps the stdlib path equivalent to the fast
+    # tokenizer's raw-text mode (differential-fuzz-found divergence on
+    # unterminated titles).
+    CDATA_CONTENT_ELEMENTS = ("script", "style", "title", "textarea")
+
     def __init__(self, walker: _Walker) -> None:
         super().__init__(convert_charrefs=True)
         self.walker = walker
@@ -584,9 +592,34 @@ class _EdgeParser(HTMLParser):
         # stray end tag with no matching open: ignored
 
     def handle_data(self, data: str) -> None:
+        # RCDATA decode happens HERE, exactly once for both tokenizer
+        # paths: html.parser's cdata mode delivers title/textarea content
+        # raw (convert_charrefs does not apply inside CDATA elements),
+        # and _fast_feed defers its raw-text decode to this hook too
+        if self.stack and self.stack[-1] in ("title", "textarea") \
+                and "&" in data:
+            data = _unescape(data)
         self.walker.handle_text(data)
 
     def close(self) -> None:
+        # unterminated markup declaration at EOF ('<!...' / '<?...' with
+        # no '>'): the WHATWG bogus-comment state swallows it (html5ever
+        # and the fast tokenizer agree); html.parser would emit it as
+        # data — drop the buffered tail instead
+        if (not self.cdata_elem and self.rawdata
+                and self.rawdata.startswith(("<!", "<?"))
+                and ">" not in self.rawdata):
+            self.rawdata = ""
+        # unterminated RCDATA/raw-text element at EOF: html.parser's
+        # goahead() buffers the tail forever (never emits it), but the
+        # WHATWG spec — and html5ever, and the fast tokenizer — emit the
+        # pending content as text. Flush it before closing.
+        if self.cdata_elem and self.rawdata:
+            elem = self.cdata_elem
+            data, self.rawdata = self.rawdata, ""
+            self.clear_cdata_mode()
+            self.handle_data(data)
+            self.handle_endtag(elem)
         super().close()
         while self.stack:
             self._pop_close()
@@ -607,9 +640,22 @@ _TOKEN_RE = _re.compile(
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"            # CDATA (foreign content)
     r"|<![^>]*>?"                            # doctype / bogus
     r"|<\?[^>]*>?"                           # processing instruction
+    # tag names per the WHATWG tag-name state (and CPython's tolerant
+    # tagfind): a letter then anything but whitespace / '/' / '>' — which
+    # INCLUDES '<' (so '<X<p>' is one start tag named 'x<p', exactly as
+    # html5ever and html.parser read it; fuzz-found divergence)
     r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>"  # end tag       (group 1)
-    r"|<([a-zA-Z][-.a-zA-Z0-9:_]*)"          # start tag name (group 2)
-    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs (3)
+    r"|</[^>]*>"                              # bogus end tag ('</' + junk):
+                                              # swallowed to '>' per the
+                                              # WHATWG bogus-comment state
+
+    r"|<([a-zA-Z][^\t\n\r\f />]*)"           # start tag name (group 2)
+    # attr separator is whitespace OR '/' not followed by '>' (WHATWG
+    # before-attribute-name; same tolerant form as html.parser), so
+    # '<x</p>' reads as tag 'x<' with attribute 'p'. An attr NAME may
+    # begin with '=' (unexpected-equals-sign rule) and '=+' delimits
+    # values, both per html.parser's attrfind_tolerant.
+    r"((?:(?:\s|/(?!>))+[^\s/>][^\s/=>]*(?:\s*=+\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs (3)
     r"\s*(/?)\s*>"                            # self-closing   (group 4)
     r"|[^<]+"                                 # text
     r"|<",                                    # lone '<' -> literal text
@@ -617,7 +663,7 @@ _TOKEN_RE = _re.compile(
 )
 
 _ATTR_RE = _re.compile(
-    r"([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+    r"([^\s/>][^\s/=>]*)(?:\s*=+\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
 
 _RAWTEXT_CLOSE = {
@@ -648,9 +694,11 @@ def _fast_feed(parser: "_EdgeParser", text: str) -> None:
         # 1 = end tag, >=2 = start tag (groups 2-4)
         li = m.lastindex
         if li is None:
-            if text[start] == "<" and pos - start >= 2 \
-                    and text[start + 1] in "!?":
-                continue  # comments/doctype/PI are ignored by the walker
+            if text[start] == "<" and pos - start >= 2:
+                # every multi-char group-less token opening with '<' is
+                # swallowed markup: comment, CDATA, doctype, PI, or a
+                # bogus '</junk>' end tag (lone '<' is 1 char -> text)
+                continue
             # plain text run, or a lone '<' emitted as literal text
             token = text[start:pos]
             if "&" in token:
@@ -673,13 +721,12 @@ def _fast_feed(parser: "_EdgeParser", text: str) -> None:
                 closer = _RAWTEXT_CLOSE.get(tag)
                 if closer is not None:
                     # raw-text content mode: no tags until the close tag
+                    # (RCDATA charref decode for title/textarea happens in
+                    # _EdgeParser.handle_data, shared with the stdlib path)
                     cm = closer.search(text, pos)
                     end = cm.start() if cm else n
                     if end > pos:
-                        raw = text[pos:end]
-                        if tag in ("title", "textarea") and "&" in raw:
-                            raw = _unescape(raw)  # RCDATA decodes charrefs
-                        handle_data(raw)
+                        handle_data(text[pos:end])
                     parser.handle_endtag(tag)
                     pos = cm.end() if cm else n
         else:

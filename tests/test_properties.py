@@ -168,6 +168,34 @@ class TestFastTokenizerDifferential:
         out = convert_html(s.encode("utf-8"), fast=True)
         assert out["markdown"] == "" or out["markdown"].endswith("\n")
 
+    # structured tag soup: random nesting of handled/unhandled/void tags,
+    # deliberately mismatched closes, attributes, comments and entities —
+    # guards the round-3 hot-path rewrites (set-guarded dispatch,
+    # top-of-stack fast path, open-p counter, lastindex discrimination)
+    _SOUP_TAGS = ("p", "div", "span", "strong", "em", "li", "ul", "ol",
+                  "table", "tr", "td", "th", "h1", "h2", "a", "blockquote",
+                  "pre", "code", "title", "dt", "dd", "dl", "section")
+
+    @given(st.lists(
+        st.one_of(
+            st.sampled_from([f"<{t}>" for t in _SOUP_TAGS]),
+            st.sampled_from([f"</{t}>" for t in _SOUP_TAGS]),
+            st.sampled_from(['<a href="x">', '<img src="i" alt="A">',
+                             "<br>", "<hr>", "<br/>", "<!-- c -->",
+                             "&amp;", "&lt;", "<", ">"]),
+            st.text(
+                alphabet="abc X\n\t", min_size=1, max_size=12
+            ),
+        ),
+        max_size=40,
+    ))
+    @settings(max_examples=300, deadline=5000)
+    def test_fast_tag_soup_differential(self, parts):
+        data = "".join(parts).encode("utf-8")
+        assert convert_html(data, fast=True) == convert_html(
+            data, fast=False
+        )
+
 
 class TestWinnowBitParity:
     """The numpy-vectorized winnowing hash must stay bit-identical to the
