@@ -261,6 +261,18 @@ def _q_text_langid(spark, sf):
     )
 
 
+def _q_text_unigram_logprob(spark, sf):
+    """Unigram-LM quality score (perplexity-filter stand-in): corpus
+    top-20 vocabulary with add-0.5 smoothing, so the OOV path is
+    genuinely exercised (the corpus has ~31 distinct tokens)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = TQ.unigram_logprob(docs, max_vocab=20)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
 def _q_text_redact_pii(spark, sf):
     """PII scrub gate: deterministic email/IP/phone spans are injected
     into every document (derivable in ANSI SQL), then redacted; the
@@ -592,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_text_fingerprints,
         "text_redact_pii": _q_text_redact_pii,
         "text_repetition": _q_text_repetition,
+        "text_unigram_logprob": _q_text_unigram_logprob,
         # relational operator competence
         "rel_agg_lineitem": _q_rel_agg_lineitem,
         "rel_join_topcustomers": _q_rel_join_topcustomers,
@@ -1333,6 +1346,28 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": _fingerprints_oracle(),
         "text_redact_pii": _redact_pii_oracle(),
         "text_repetition": _REPETITION_ORACLE,
+        "text_unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS tok
+                FROM documents
+            ), freq AS (
+                SELECT tok, count(*) AS c FROM toks GROUP BY tok
+                ORDER BY c DESC, tok ASC LIMIT 20
+            ), tot AS (
+                SELECT count(*) AS n_total,
+                       count(DISTINCT tok) AS v
+                FROM toks
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(log10(
+                       (coalesce(c, 0) + 0.5)
+                       / (n_total + 0.5 * (least(v, 20) + 1))
+                   )), 6) AS avg_logprob
+            FROM toks LEFT JOIN freq USING (tok), tot
+            GROUP BY doc_id
+        """,
         "corpus_split": _corpus_split_oracle(),
         "corpus_shards": """
             WITH t AS (

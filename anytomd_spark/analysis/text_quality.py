@@ -137,6 +137,59 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("lang_pred", pred)
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log10-probability — the cheap stand-in
+    for an LM perplexity filter (CCNet-style): gibberish and boilerplate
+    score far below fluent text under the corpus's own unigram model.
+
+    Model: vocabulary = top ``max_vocab`` tokens by corpus frequency
+    (ties broken by token for determinism), add-alpha smoothing
+    ``p(t) = (c_t + alpha) / (N + alpha * (V + 1))`` with every
+    out-of-vocabulary token sharing the c=0 estimate.
+
+    Plan shape for 100 TB: the frequency table aggregates map-side
+    partial counts and is capped at ``max_vocab`` rows, so it BROADCASTS
+    to the scoring join; the corpus side explodes tokens map-side and
+    re-aggregates on the id — one shuffle keyed by document id, none
+    keyed by content. Returns (id, n_tokens, avg_logprob).
+    """
+    from anytomd_spark.analysis.dedup import tokenize
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
+    )
+    freq = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(max_vocab)
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("tok").alias("v"),
+    )
+    scored = (
+        toks.join(F.broadcast(freq), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log10(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+                / (F.col("n_total") + F.lit(alpha) * (F.least(F.col("v"), F.lit(max_vocab)) + 1))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("lp").alias("avg_logprob"),
+    )
+
+
 # ---- PII redaction (training-data scrub stage) --------------------------
 # Dialect-portable patterns (Java regex + RE2): applied in a FIXED order
 # (email, then IPv4, then phone) so Spark and the SQL oracle agree even

@@ -415,3 +415,21 @@ def test_repetition_scores(spark):
     assert abs(got[0].dup_2gram_frac - 0.8) < 1e-9
     assert got[1].dup_2gram_frac == 0.0 and got[1].dup_3gram_frac == 0.0
     assert abs(got[2].dup_line_frac - (1 - 2 / 3)) < 1e-9
+
+
+def test_unigram_logprob(spark):
+    """Corpus-unigram LM score: rare/OOV-heavy documents score strictly
+    below common-token documents; output deterministic across
+    partitionings; smoothing keeps OOV finite."""
+    common = "the cat sat on the mat " * 10
+    rows = [(i, common) for i in range(8)]
+    rows.append((100, "zxqv wqxz qzvw xvqz"))  # all-OOV gibberish
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           TQ.unigram_logprob(docs, max_vocab=6).collect()}
+    assert out[100].avg_logprob < out[0].avg_logprob
+    assert out[100].avg_logprob > float("-inf")
+    assert out[0].n_tokens == 60
+    out2 = {r.doc_id: r.avg_logprob for r in
+            TQ.unigram_logprob(docs.repartition(5), max_vocab=6).collect()}
+    assert out2 == {k: v.avg_logprob for k, v in out.items()}
