@@ -47,8 +47,33 @@ _CORRECTNESS_SF = _os.environ.get(
 )
 
 
+def _code_token() -> str:
+    """Version token for oracle-input paths: a hash of the source files
+    that define the persisted signature semantics. Both the Spark query
+    (writer) and the oracle SQL string (reader) embed it, so an oracle
+    can never silently read stale parquet left by an EARLIER run of
+    DIFFERENT code — a changed kernel changes the path, and a missing
+    path fails loudly in DuckDB ('No files found') instead of
+    hash-mismatching mysteriously. Deterministic across processes of
+    the same checkout (the driver may collect oracle strings and run
+    queries in separate phases)."""
+    import hashlib
+
+    import anytomd_spark.analysis.dedup as _dd
+
+    h = hashlib.md5()
+    for mod_file in (_dd.__file__, __file__):
+        with open(mod_file, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+_CODE_TOKEN = _code_token()
+
+
 def _sig_path(kind: str, sf_dir: str) -> str:
-    return f"{ORACLE_INPUTS}/{kind}_{_os.path.basename(sf_dir.rstrip('/'))}"
+    base = _os.path.basename(sf_dir.rstrip("/"))
+    return f"{ORACLE_INPUTS}/{kind}_{base}_{_CODE_TOKEN}"
 
 
 def _converted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,10 +84,37 @@ def token_shards(
     first (tiny), a window over BUCKET rows yields each bucket's start
     offset, and the per-document running sum windows only within its
     bucket — no single task ever sees the whole corpus ordering.
+
+    Bucketing is by uniform id RANGES sized from a (count, min, max)
+    scalar probe — one cheap eager aggregate over the id column only —
+    targeting ~``id_bucket`` rows per bucket. This is order-preserving
+    (required for the cumulative sum to be exact) and, unlike the
+    naive ``floor(id / id_bucket)``, does not assume dense ids: sparse
+    64-bit hash-derived ids (xxhash etc., uniform over the id range)
+    still land ~``id_bucket`` rows per bucket, where the dense formula
+    made one bucket per document and pushed the whole corpus through
+    the single-task offset window. (Adversarially clustered sparse ids
+    can still overfill a range bucket; uniform-hash ids — the realistic
+    sparse case — cannot.)
     """
+    n, mn, mx = docs.agg(
+        F.count(F.lit(1)),
+        F.min(id_col).cast("double"),
+        F.max(id_col).cast("double"),
+    ).collect()[0]
+    n_buckets = max(1, -(-n // id_bucket))  # ceil
+    if mn is None or mx <= mn:
+        bkt = F.lit(1).cast("long")
+    else:
+        # width_bucket is monotone in id (weakly, under the double
+        # cast), so bucket boundaries respect id order
+        bkt = F.width_bucket(
+            F.col(id_col).cast("double"), F.lit(mn), F.lit(mx),
+            F.lit(n_buckets),
+        ).cast("long")
     base = docs.select(
         F.col(id_col),
-        F.floor(F.col(id_col) / F.lit(id_bucket)).cast("long").alias("_bkt"),
+        bkt.alias("_bkt"),
         token_count(text_col).cast("long").alias("n_tokens"),
     )
     counts = base.groupBy("_bkt").agg(F.sum("n_tokens").alias("_n"))

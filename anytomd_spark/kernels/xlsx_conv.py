@@ -229,8 +229,16 @@ def parse_sheet_cells(
         elif local == "t":
             in_is_t = True
         elif local == "row":
+            # mirror the cell-ref bounds guard: a crafted <row
+            # r="99999999999"> would otherwise set a multi-billion-row
+            # bounding box and an unbounded grid-building loop (Excel
+            # caps rows at 1048576)
             r = attrs.get("r")
-            row = int(r) - 1 if r and r.isdigit() else row + 1
+            row = (
+                int(r) - 1
+                if r and r.isdigit() and len(r) <= 7 and 0 < int(r) <= 1048576
+                else row + 1
+            )
             next_col = 0
 
     def text(data):

@@ -129,17 +129,34 @@ def main() -> None:
               f"{rep['peak_mb']:.1f} MB ({ratio:.2f}x, target {target}x) "
               f"{'PASS' if ok else 'FAIL'}")
 
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
-        f.write("\n## Peak memory (TECH_SPEC.md:836: <= 4x input for "
-                "single docs; batch case 6.5x — input + markdown + "
-                "plain_text are concurrently resident by Arrow-batch "
-                "design, a ~3x floor. Marginal VmHWM in a fresh "
-                "RLIMIT_AS=2GiB worker)\n\n"
-                "| case | input MB (uncompressed) | marginal peak RSS MB | "
-                "ratio | target | ok |\n|---|---|---|---|---|---|\n")
-        for name, inp, peak, ratio, target, ok in rows:
-            f.write(f"| {name} | {inp:.1f} | {peak:.1f} | {ratio:.2f}x | "
+    # replace the section in place: repeated runs must not accumulate
+    # duplicate tables that leave BASELINE.md ambiguous about which
+    # measurement is current (ADVICE r3)
+    import datetime
+
+    header = "## Peak memory"
+    section = (
+        f"\n{header} (TECH_SPEC.md:836: <= 4x input for "
+        "single docs; batch case 6.5x — input + markdown + "
+        "plain_text are concurrently resident by Arrow-batch "
+        "design, a ~3x floor. Marginal VmHWM in a fresh "
+        "RLIMIT_AS=2GiB worker; measured "
+        f"{datetime.datetime.now():%Y-%m-%d %H:%M})\n\n"
+        "| case | input MB (uncompressed) | marginal peak RSS MB | "
+        "ratio | target | ok |\n|---|---|---|---|---|---|\n"
+    )
+    for name, inp, peak, ratio, target, ok in rows:
+        section += (f"| {name} | {inp:.1f} | {peak:.1f} | {ratio:.2f}x | "
                     f"{target}x | {'PASS' if ok else 'FAIL'} |\n")
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path) as f:
+        doc = f.read()
+    start = doc.find(f"\n{header}")
+    if start != -1:
+        nxt = doc.find("\n## ", start + 1)
+        doc = doc[:start] + doc[nxt:] if nxt != -1 else doc[:start]
+    with open(path, "w") as f:
+        f.write(doc + section)
 
 
 if __name__ == "__main__":

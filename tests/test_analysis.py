@@ -299,13 +299,37 @@ def test_dedup_clusters_transitive_closure(spark):
 
 
 def test_dedup_clusters_long_chain_converges(spark):
-    """A 17-node path graph: diameter 16 -> needs multiple propagation
-    rounds; verifies convergence detection (sum fixpoint) is exact."""
+    """A 97-node path graph (diameter 96 > the default max_iters=50):
+    the old O(diameter) min-label propagation warned and split this
+    component; large-star/small-star contracts it in O(log n) rounds —
+    one cluster, no RuntimeWarning. Chain-shaped near-dup components
+    are exactly what boilerplate/template farms produce."""
+    import warnings
+
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(100, 116)], "a long, b long"
+        [(i, i + 1) for i in range(100, 196)], "a long, b long"
     )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {r.id: r.cluster_id for r in DD.dedup_clusters(pairs).collect()}
+    assert got == {i: 100 for i in range(100, 197)}
+
+
+def test_dedup_clusters_string_ids_multi_hop(spark):
+    """String document ids through a multi-hop component: the legacy
+    convergence check summed labels (NULL for strings -> instant fake
+    'convergence' -> wrong clusters); the edge-multiset xxhash64
+    fingerprint is id-type-generic. cluster_id = lexicographic min."""
+    pairs = spark.createDataFrame(
+        [("doc-c", "doc-b"), ("doc-b", "doc-a"), ("doc-d", "doc-c"),
+         ("zzz-2", "zzz-1")],
+        "a string, b string",
+    ).repartition(3)
     got = {r.id: r.cluster_id for r in DD.dedup_clusters(pairs).collect()}
-    assert got == {i: 100 for i in range(100, 117)}
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-d": "doc-a", "zzz-1": "zzz-1", "zzz-2": "zzz-1",
+    }
 
 
 def test_deterministic_split_stable_and_proportional(spark):
@@ -353,6 +377,42 @@ def test_token_shards_two_level_matches_naive(spark):
     # every shard except the last carries >= the budget's worth of starts
     shards = sorted({v[1] for v in got.values()})
     assert shards == list(range(shards[-1] + 1))  # contiguous ids
+
+
+def test_token_shards_sparse_hash_ids_bounded_buckets(spark):
+    """Sparse 64-bit hash-derived ids (VERDICT r3 'What's wrong #5'):
+    floor(id / id_bucket) made ~one bucket per doc and pushed the whole
+    corpus through the single-task offset window; range bucketing must
+    (a) keep the exact cumulative shard assignment and (b) pack
+    ~id_bucket docs per bucket regardless of id density."""
+    import hashlib
+
+    from anytomd_spark.analysis import corpus as CORPUS
+
+    # uniform sparse ids over ~2^63 — the realistic xxhash-id shape
+    ids = sorted(
+        int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big") >> 1
+        for i in range(400)
+    )
+    rows = [(d, " ".join(["w"] * (k % 23 + 1))) for k, d in enumerate(ids)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(7)
+    got = {r.doc_id: (r.start_offset, r.shard)
+           for r in CORPUS.token_shards(
+               docs, max_tokens_per_shard=80, id_bucket=32).collect()}
+    cum = 0
+    for k, d in enumerate(ids):
+        assert got[d] == (cum, cum // 80), d
+        cum += k % 23 + 1
+    # boundedness: replicate the range bucketing — no bucket may hold
+    # more than a few times the id_bucket target (uniform ids)
+    n_buckets = -(-len(ids) // 32)
+    mn, mx = float(ids[0]), float(ids[-1])
+    per_bucket: dict[int, int] = {}
+    for d in ids:
+        b = min(int((float(d) - mn) / (mx - mn) * n_buckets) + 1, n_buckets + 1)
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) <= 4 * 32
 
 
 def test_decontaminate_flags_and_plan(spark):

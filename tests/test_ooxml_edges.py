@@ -370,6 +370,19 @@ class TestXlsxEdges:
         out = convert_xlsx(make_xlsx(""))
         assert out["markdown"] == ""
 
+    def test_huge_row_attr_clamped(self):
+        """A crafted <row r="99999999999"> (no cell refs) must not blow
+        the bounding box into billions of grid rows — out-of-range row
+        attributes fall back to sequential numbering, mirroring the
+        cell-ref bounds guard (ADVICE r3)."""
+        data = ('<row r="1"><c t="inlineStr"><is><t>H</t></is></c></row>'
+                '<row r="99999999999"><c><v>1</v></c></row>')
+        out = convert_xlsx(make_xlsx(data))  # must return promptly
+        assert "| H |" in out["markdown"]
+        assert "| 1 |" in out["markdown"]
+        # two consecutive rows, not ~1e11 blank-padded ones
+        assert out["markdown"].count("\n") < 10
+
     def test_bounding_box_offset(self):
         # data starting at C3: range is trimmed like calamine's
         data = ('<row r="3"><c r="C3" t="inlineStr"><is><t>H</t></is></c>'

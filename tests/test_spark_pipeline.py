@@ -259,6 +259,27 @@ def test_ordered_output_mega_conversation_two_level(spark):
             assert "_seq_bkt" in line, line
 
 
+def test_ordered_output_adaptive_small_convs_take_legacy_plan(spark):
+    """When no conversation reaches seq_bucket rows, the adaptive check
+    must fall back to the legacy single-window plan — no composite-key
+    join, no _seq_bkt anywhere (VERDICT r3 #5: the small-conv common
+    case paid the two-level cost unconditionally)."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("b", 0)], "conv_id string, turn_idx int"
+    ).withColumn("payload", F.lit("p"))
+    turns = df.select("conv_id", "turn_idx")
+    out = ordered_output(df, turns=turns, seq_bucket=64)
+    got = {(r.conv_id, r.turn_idx): r.turn_seq for r in out.collect()}
+    assert got == {("a", 0): 1, ("a", 1): 2, ("b", 0): 1}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    assert "_seq_bkt" not in buf.getvalue()
+
+
 def test_ordered_output_sparse_turn_idx_matches_legacy(spark):
     """Gappy, non-dense turn_idx across bucket boundaries: the two-level
     rank must equal the legacy single-window row_number."""
@@ -278,7 +299,8 @@ def test_ordered_output_sparse_turn_idx_matches_legacy(spark):
     }
     two_level = {
         (r.conv_id, r.turn_idx): r.turn_seq
-        for r in ordered_output(df, turns=turns, seq_bucket=65536).collect()
+        for r in ordered_output(df, turns=turns, seq_bucket=65536,
+                                adaptive=False).collect()
     }
     assert two_level == legacy
 
@@ -381,7 +403,8 @@ def test_ordered_output_null_conv_id_not_dropped(spark):
     df = spark.createDataFrame(pdf, "conv_id string, turn_idx int") \
         .withColumn("payload", F.lit("p"))
     turns = df.select("conv_id", "turn_idx")
-    rows = ordered_output(df, turns=turns, seq_bucket=64).collect()
+    rows = ordered_output(df, turns=turns, seq_bucket=64,
+                          adaptive=False).collect()
     assert len(rows) == 3
     got = {(r.conv_id, r.turn_idx): r.turn_seq for r in rows}
     assert got[(None, 0)] == 1 and got[(None, 1)] == 2 and got[("c", 0)] == 1
