@@ -1,6 +1,9 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The container has no decoding libraries, so the decode step is a
+PNG images decode FOR REAL via the pure-stdlib codec in
+:mod:`anytomd_spark.kernels.png` (zlib inflate + scanline unfilter) —
+see :func:`png_features` and the PNG branch in :func:`extract_features`.
+The container has no other decoding libraries, so non-PNG decode is a
 deterministic fake behind ``FAKE_DECODE`` (clearly marked; swap in a real
 decoder on a cluster with PIL/ffmpeg). Everything Spark-side — schema,
 partition-friendly batching, Arrow UDF signatures, batch shapes — is real
@@ -22,6 +25,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from anytomd_spark.kernels import png
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>"
@@ -32,7 +37,7 @@ FEATURES_SCHEMA = (
     "features array<float>, decode_error string"
 )
 
-FAKE_DECODE = True  # no image/audio libs in this container
+FAKE_DECODE = True  # no image/audio libs in this container (PNG is real)
 
 
 def _fake_features(payload: bytes, dim: int = 16) -> list[float]:
@@ -44,10 +49,17 @@ def _fake_features(payload: bytes, dim: int = 16) -> list[float]:
     return rng.standard_normal(dim).astype(np.float32).tolist()
 
 
-def _real_decode(payload: bytes, kind: str):  # pragma: no cover - stub
+def _real_decode(payload: bytes, kind: str):
+    """The real-decoder seam. PNG images decode for real via the
+    pure-stdlib codec (:mod:`anytomd_spark.kernels.png` — zlib inflate +
+    scanline unfilter); every other (kind, format) still requires
+    PIL/ffmpeg and fails loudly — swap in on a real cluster."""
+    if kind == "image" and payload[:8] == png.MAGIC:
+        return png.decode_png(payload)
     raise NotImplementedError(
-        "real media decoding requires PIL/ffmpeg, not present in this "
-        "container — enable on a real cluster and set FAKE_DECODE = False"
+        "real media decoding beyond PNG requires PIL/ffmpeg, not present "
+        "in this container — enable on a real cluster and set "
+        "FAKE_DECODE = False"
     )
 
 
@@ -63,12 +75,22 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 payload = bytes(payload) if payload is not None else b""
                 err = None
                 try:
-                    feats = (
-                        _fake_features(payload, dim)
-                        if FAKE_DECODE
-                        else _real_decode(payload, kind)
-                    )
-                except NotImplementedError as e:
+                    if kind == "image" and payload[:8] == png.MAGIC:
+                        # PNG decodes for REAL regardless of FAKE_DECODE
+                        # (that flag marks the decoders this container
+                        # lacks): features = dims + per-image mean sample
+                        img = png.decode_png(payload)
+                        px = np.frombuffer(img["pixels"], np.uint8)
+                        feats = [
+                            float(img["width"]), float(img["height"]),
+                            float(img["channels"]),
+                            float(round(float(px.mean()), 6)),
+                        ]
+                    elif FAKE_DECODE:
+                        feats = _fake_features(payload, dim)
+                    else:
+                        feats = _real_decode(payload, kind)
+                except (NotImplementedError, png.PngError) as e:
                     feats, err = [], str(e)
                 out_rows.append((
                     int(media_id), kind, len(payload),
@@ -81,6 +103,104 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+PNG_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, channels int, "
+    "pixel_md5 string, mean_lum double, decode_error string"
+)
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """REAL image decode over an opaque binary column: every payload is
+    inflated + unfiltered by the stdlib PNG codec inside an Arrow batch;
+    output carries the recovered dimensions, an md5 over the raw decoded
+    samples (palette images expanded to RGB), and the mean sample value.
+    Non-PNG / corrupt payloads land in ``decode_error`` instead of
+    failing the job — per-row error capture, same contract as the
+    conversion kernel."""
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    img = png.decode_png(data)
+                except png.PngError as e:
+                    rows.append((int(media_id), None, None, None, None,
+                                 None, str(e)))
+                    continue
+                px = np.frombuffer(img["pixels"], np.uint8)
+                rows.append((
+                    int(media_id), img["width"], img["height"],
+                    img["channels"],
+                    hashlib.md5(img["pixels"]).hexdigest(),
+                    float(round(float(px.mean()), 6)), None,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels",
+                         "pixel_md5", "mean_lum", "decode_error"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PNG_FEATURES_SCHEMA
+    )
+
+
+def png_media_payloads(n: int = 24, seed: int = 11) -> list[dict]:
+    """Deterministic PNG media rows + ground truth for the value-level
+    oracle: pixels are generated FIRST, encoded to PNG for the Spark
+    side, and the expected (width, height, channels, md5(pixels),
+    mean) are computed from the ORIGINAL pixel arrays — so the oracle
+    checks decode(encode(x)) == x against generator-known truth, not
+    against the decoder's own output. Color types and per-row filter
+    types cycle so the driver query exercises every unfilter path."""
+    rng = np.random.default_rng(seed)
+    color_types = (0, 2, 3, 4, 6)
+    channels_of = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    rows = []
+    for i in range(n):
+        ct = color_types[i % len(color_types)]
+        w, h = 5 + (i % 7), 4 + (i % 5)
+        ch = channels_of[ct]
+        filters = [(i + y) % 5 for y in range(h)]
+        if ct == 3:
+            pal = rng.integers(0, 256, size=48, dtype=np.uint8).tobytes()
+            idx = rng.integers(0, 16, size=w * h, dtype=np.uint8).tobytes()
+            data = png.encode_png(w, h, idx, color_type=3, palette=pal,
+                                  filters=filters)
+            truth = np.frombuffer(pal, np.uint8).reshape(16, 3)[
+                np.frombuffer(idx, np.uint8)
+            ].tobytes()
+            out_ch = 3
+        else:
+            truth = rng.integers(
+                0, 256, size=w * h * ch, dtype=np.uint8
+            ).tobytes()
+            data = png.encode_png(w, h, truth, color_type=ct, filters=filters)
+            out_ch = ch
+        px = np.frombuffer(truth, np.uint8)
+        rows.append({
+            "media_id": i, "payload": data, "width": w, "height": h,
+            "channels": out_ch,
+            "pixel_md5": hashlib.md5(truth).hexdigest(),
+            "mean_lum": float(round(float(px.mean()), 6)),
+        })
+    return rows
+
+
+def synthesize_png_media(spark, n: int = 24, seed: int = 11) -> DataFrame:
+    """Spark table of the deterministic PNG payloads (binary column)."""
+    rows = [
+        (r["media_id"], "image", bytearray(r["payload"]),
+         {"width": r["width"], "height": r["height"],
+          "sample_rate": None, "duration_ms": None})
+        for r in png_media_payloads(n, seed)
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = (

@@ -266,6 +266,76 @@ def test_multimodal_resize_and_frames(spark):
         assert all(f.n_bytes == len(bytes(f.frame)) for f in fs)
 
 
+def test_png_features_real_decode_matches_generator_truth(spark):
+    """The REAL multimodal image path: Spark decodes the encoded PNGs
+    (all five filter types, all five color types) inside Arrow batches
+    and must recover the generator's original pixels exactly."""
+    from anytomd_spark.analysis.multimodal import (
+        png_features,
+        png_media_payloads,
+        synthesize_png_media,
+    )
+
+    truth = {r["media_id"]: r for r in png_media_payloads(24)}
+    got = {r.media_id: r
+           for r in png_features(synthesize_png_media(spark, 24)).collect()}
+    assert set(got) == set(truth)
+    for mid, t in truth.items():
+        g = got[mid]
+        assert g.decode_error is None
+        assert (g.width, g.height, g.channels) == (
+            t["width"], t["height"], t["channels"])
+        assert g.pixel_md5 == t["pixel_md5"]
+        assert g.mean_lum == t["mean_lum"]
+
+
+def test_png_features_corrupt_payload_per_row_error(spark):
+    """Non-PNG / corrupt blobs must land in decode_error, not fail the
+    job — same per-row error contract as the conversion kernel."""
+    import pandas as pd
+
+    from anytomd_spark.analysis.multimodal import MEDIA_SCHEMA, png_features
+
+    pdf = pd.DataFrame(
+        [(0, "image", bytearray(b"not a png at all"), None),
+         (1, "image", None, None)],
+        columns=["media_id", "kind", "payload", "meta"],
+    )
+    rows = {r.media_id: r
+            for r in png_features(
+                spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)).collect()}
+    assert rows[0].decode_error and rows[0].width is None
+    assert rows[1].decode_error and rows[1].pixel_md5 is None
+
+
+def test_extract_features_png_branch_is_real(spark):
+    """extract_features routes PNG-magic image payloads through the real
+    decoder (features = [w, h, channels, mean]) while non-PNG media keep
+    the FAKE_DECODE stand-in."""
+    import pandas as pd
+
+    from anytomd_spark.analysis.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        png_media_payloads,
+    )
+
+    png_row = png_media_payloads(1)[0]
+    pdf = pd.DataFrame(
+        [(0, "image", bytearray(png_row["payload"]), None),
+         (1, "audio", bytearray(b"fakeaudio"), None)],
+        columns=["media_id", "kind", "payload", "meta"],
+    )
+    feats = {r.media_id: list(r.features)
+             for r in extract_features(
+                 spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)).collect()}
+    assert feats[0][:3] == [float(png_row["width"]),
+                            float(png_row["height"]),
+                            float(png_row["channels"])]
+    assert abs(feats[0][3] - png_row["mean_lum"]) < 1e-6
+    assert len(feats[1]) == 16  # fake path unchanged
+
+
 def test_dedup_clusters_transitive_closure(spark):
     """a~b, b~c (no a~c pair) must land in ONE cluster; isolated pairs
     and singletons keep their own components; cluster_id is the
