@@ -144,6 +144,79 @@ def test_storage_probe_and_lineage_mode(spark, tmp_path):
                              snapshot_id=1)
 
 
+def test_iceberg_write_call_chain_mocked(spark, monkeypatch):
+    """The Iceberg live branch can't execute offline (no runtime jar —
+    SURVEY §7.5), so pin its exact DataFrameWriterV2 call chains with
+    mocks (VERDICT r3 #9): existing table -> writeTo(t).
+    overwritePartitions(); missing table -> writeTo(t).partitionedBy(
+    'bucket').create(); lineage -> append()/create(); snapshot read ->
+    option('snapshot-id', id).table(t)."""
+    from anytomd_spark import table_io
+
+    calls: list = []
+
+    class FakeWriterV2:
+        def __init__(self, target):
+            calls.append(("writeTo", target))
+
+        def partitionedBy(self, *cols):
+            calls.append(("partitionedBy", cols))
+            return self
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions",))
+
+        def create(self):
+            calls.append(("create",))
+
+        def append(self):
+            calls.append(("append",))
+
+    exists = {"flag": True}
+    df = spark.range(3).withColumn("bucket", F.lit(0))
+    # patch the CONCRETE classes (pyspark 4: instances are the .classic
+    # subclasses, which override the base-class methods)
+    monkeypatch.setattr(type(df), "writeTo",
+                        lambda self, target: FakeWriterV2(target))
+    monkeypatch.setattr(type(spark.catalog), "tableExists",
+                        lambda self, name: exists["flag"])
+
+    table_io.write_output(df, "cat.db.out", "iceberg")
+    assert calls == [("writeTo", "cat.db.out"), ("overwritePartitions",)]
+
+    calls.clear()
+    exists["flag"] = False
+    table_io.write_output(df, "cat.db.out", "iceberg")
+    assert calls == [("writeTo", "cat.db.out"),
+                     ("partitionedBy", ("bucket",)), ("create",)]
+
+    calls.clear()
+    exists["flag"] = True
+    table_io.append_lineage(df, "cat.db.lin", "iceberg")
+    assert calls == [("writeTo", "cat.db.lin"), ("append",)]
+
+    calls.clear()
+    exists["flag"] = False
+    table_io.append_lineage(df, "cat.db.lin", "iceberg")
+    assert calls == [("writeTo", "cat.db.lin"), ("create",)]
+
+    reads: list = []
+    monkeypatch.setattr(
+        type(spark.read), "option",
+        lambda self, k, v: (reads.append(("option", k, v)), self)[1])
+    monkeypatch.setattr(
+        type(spark.read), "table",
+        lambda self, name: (reads.append(("table", name)), df)[1])
+    out = table_io.read_output(spark, "cat.db.out", "iceberg",
+                               snapshot_id=42)
+    assert out is df
+    assert reads == [("option", "snapshot-id", "42"), ("table", "cat.db.out")]
+
+    reads.clear()
+    table_io.read_output(spark, "cat.db.out", "iceberg")
+    assert reads == [("table", "cat.db.out")]
+
+
 def test_lineage_read_is_metric_columns_only(spark, tmp_path):
     """The post-write lineage scan must never materialize the payload
     columns (VERDICT r2 'What's wrong #3'): the slim projection
