@@ -177,7 +177,7 @@ def _q_dedup_simhash(spark, sf):
 
 def _q_dedup_clusters(spark, sf):
     """Connected components over the verified near-dup pairs (LSH
-    candidates -> exact-Jaccard verify -> min-label propagation):
+    candidates -> exact-Jaccard verify -> union-find / star contraction):
     (doc_id, cluster_id) with cluster_id = the component's minimum id.
     Oracle: brute-force true near-dup pairs (proven equal to the LSH set
     by the dedup_minhash_pairs gate) + a recursive-CTE closure."""

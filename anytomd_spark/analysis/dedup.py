@@ -257,9 +257,40 @@ def ngram_jaccard_pairs(
     return joined.filter(F.col("jaccard") >= threshold)
 
 
+def _union_find_min(edges: list) -> list:
+    """Exact driver-side connected components: union-find with path
+    compression, then per-root minimum as the canonical cluster id.
+    Used only below ``driver_threshold`` edges — microseconds where the
+    iterative distributed plan pays seconds of per-round scheduling."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    roots: dict = {}
+    nodes = set()
+    for u, v in edges:
+        nodes.update((u, v))
+    for x in nodes:
+        r = find(x)
+        if r not in roots or x < roots[r]:
+            roots[r] = x
+    return [(x, roots[find(x)]) for x in sorted(nodes)]
+
+
 def dedup_clusters(
     pairs: DataFrame,
     max_iters: int = 50,
+    driver_threshold: int = 250_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs — the canonical
     web-dedup step after LSH + verification: pairs only say "a ~ b";
@@ -273,9 +304,20 @@ def dedup_clusters(
     singleton cluster — callers join with left_anti/coalesce semantics
     (see :func:`dedup_cluster_survivors`).
 
-    Algorithm: alternating large-star / small-star (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) — the
-    standard logarithmic-round MapReduce CC. Each round:
+    Two execution paths, chosen by the verified-pair count (which is
+    TINY relative to the corpus — near-dup rates are a few percent, so
+    even a 10^12-doc corpus yields a pair set orders of magnitude
+    smaller than its input):
+
+    * **≤ driver_threshold edges** (default 250k ≈ a few MB): exact
+      union-find on the driver. Bounded, deterministic, and replaces
+      ~30 s of iterative-plan scheduling with microseconds — same
+      justification as the bounded IVF training sample
+      (similarity.py). The collect is capped by the threshold, never
+      by the input size.
+    * **above it**: alternating large-star / small-star (Kiveris et
+      al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+      the standard logarithmic-round MapReduce CC. Each round:
 
     * **large-star**: every node ``u`` hooks its strictly-larger
       neighbors onto ``min(Γ(u) ∪ {u})``;
@@ -307,12 +349,6 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        pairs.select(F.col("a").alias("id"))
-        .union(pairs.select(F.col("b").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
 
     def _fingerprint(e: DataFrame) -> tuple:
         row = e.agg(
@@ -323,10 +359,34 @@ def dedup_clusters(
         return (row["n"], row["h"])
 
     prev = _fingerprint(edges)
+    if prev[0] <= driver_threshold:
+        labeled = _union_find_min(
+            [(r["u"], r["v"]) for r in edges.collect()]
+        )
+        spark = pairs.sparkSession
+        id_type = pairs.schema["a"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        return spark.createDataFrame(
+            labeled,
+            StructType([
+                StructField("id", id_type),
+                StructField("cluster_id", id_type),
+            ]),
+        )
+
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
     converged = False
     for _ in range(max_iters):
         # large-star: symmetric neighborhoods; each strictly-larger
-        # neighbor v of u re-points at m = min(Γ(u) ∪ {u})
+        # neighbor v of u re-points at m = min(Γ(u) ∪ {u}). No distinct
+        # here — small-star's round-closing distinct dedupes, and the
+        # intermediate multiset is bounded by 2|E|
         neigh = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -339,7 +399,6 @@ def dedup_clusters(
             neigh.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # small-star: edges are larger→smaller, so min(Γ_small(u) ∪ {u})
         # = min(v); every small neighbor (≠ min) and u itself re-point

@@ -336,10 +336,13 @@ def test_extract_features_png_branch_is_real(spark):
     assert len(feats[1]) == 16  # fake path unchanged
 
 
-def test_dedup_clusters_transitive_closure(spark):
+@pytest.mark.parametrize("threshold", [250_000, 0])
+def test_dedup_clusters_transitive_closure(spark, threshold):
     """a~b, b~c (no a~c pair) must land in ONE cluster; isolated pairs
     and singletons keep their own components; cluster_id is the
-    component minimum regardless of pair orientation or partitioning."""
+    component minimum regardless of pair orientation or partitioning.
+    Both execution paths (driver union-find / distributed star
+    contraction) must agree."""
     import pyspark.sql.functions as F
 
     pairs = spark.createDataFrame(
@@ -351,7 +354,9 @@ def test_dedup_clusters_transitive_closure(spark):
          (30, 31), (32, 31)],     # star via shared node -> {30,31,32}
         "a long, b long",
     ).repartition(5)
-    got = {r.id: r.cluster_id for r in DD.dedup_clusters(pairs).collect()}
+    got = {r.id: r.cluster_id
+           for r in DD.dedup_clusters(
+               pairs, driver_threshold=threshold).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
 
@@ -368,12 +373,14 @@ def test_dedup_clusters_transitive_closure(spark):
     assert survivors == [1, 10, 20, 30, 99]
 
 
-def test_dedup_clusters_long_chain_converges(spark):
+@pytest.mark.parametrize("threshold", [250_000, 0])
+def test_dedup_clusters_long_chain_converges(spark, threshold):
     """A 97-node path graph (diameter 96 > the default max_iters=50):
     the old O(diameter) min-label propagation warned and split this
-    component; large-star/small-star contracts it in O(log n) rounds —
-    one cluster, no RuntimeWarning. Chain-shaped near-dup components
-    are exactly what boilerplate/template farms produce."""
+    component; union-find is exact and large-star/small-star contracts
+    it in O(log n) rounds — one cluster, no RuntimeWarning on either
+    path. Chain-shaped near-dup components are exactly what
+    boilerplate/template farms produce."""
     import warnings
 
     pairs = spark.createDataFrame(
@@ -381,21 +388,27 @@ def test_dedup_clusters_long_chain_converges(spark):
     )
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
-        got = {r.id: r.cluster_id for r in DD.dedup_clusters(pairs).collect()}
+        got = {r.id: r.cluster_id
+               for r in DD.dedup_clusters(
+                   pairs, driver_threshold=threshold).collect()}
     assert got == {i: 100 for i in range(100, 197)}
 
 
-def test_dedup_clusters_string_ids_multi_hop(spark):
+@pytest.mark.parametrize("threshold", [250_000, 0])
+def test_dedup_clusters_string_ids_multi_hop(spark, threshold):
     """String document ids through a multi-hop component: the legacy
     convergence check summed labels (NULL for strings -> instant fake
-    'convergence' -> wrong clusters); the edge-multiset xxhash64
-    fingerprint is id-type-generic. cluster_id = lexicographic min."""
+    'convergence' -> wrong clusters); union-find and the edge-multiset
+    xxhash64 fingerprint are id-type-generic. cluster_id =
+    lexicographic min."""
     pairs = spark.createDataFrame(
         [("doc-c", "doc-b"), ("doc-b", "doc-a"), ("doc-d", "doc-c"),
          ("zzz-2", "zzz-1")],
         "a string, b string",
     ).repartition(3)
-    got = {r.id: r.cluster_id for r in DD.dedup_clusters(pairs).collect()}
+    got = {r.id: r.cluster_id
+           for r in DD.dedup_clusters(
+               pairs, driver_threshold=threshold).collect()}
     assert got == {
         "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
         "doc-d": "doc-a", "zzz-1": "zzz-1", "zzz-2": "zzz-1",
