@@ -620,6 +620,46 @@ def _q_convert_mega_conversation(spark, sf):
     return out.select("conv_id", "turn_idx", "turn_seq")
 
 
+def _q_html_main_content(spark, sf):
+    """Main-content extraction (north rule: HTML boilerplate strip via
+    link-density / shallow-text heuristics — Kohlschütter WSDM'10
+    rules): each document becomes a synthetic web page with a
+    known-by-construction block structure (nav ld=1.0, two article
+    paragraphs ld=0, two link-list items ld=1.0, footer ld=0.5), the
+    kernel segments + classifies the REAL HTML, and the oracle applies
+    the same decision table to the known block stats in SQL — both the
+    parser and the classifier are value-gated end-to-end."""
+    from anytomd_spark.analysis.web_extract import main_content
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    h = F.ceil(n / F.lit(2.0)).cast("int")
+    para1 = F.array_join(F.slice(words, F.lit(1), h), " ")
+    para2 = F.array_join(F.slice(words, h + 1, n - h), " ")
+    page = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> <a href="/a">About'
+              '</a> <a href="/c">Contact</a></nav><article><p>'),
+        para1,
+        F.lit("</p><p>"),
+        para2,
+        F.lit('</p></article><ul><li><a href="/r1">Related link one</a>'
+              '</li><li><a href="/r2">More links here</a></li></ul>'
+              '<footer>Copyright 2026 <a href="/t">Terms</a> '
+              '<a href="/p">Privacy</a></footer></body></html>'),
+    )
+    out = main_content(docs.select("doc_id", page.alias("html")))
+    return out.select(
+        "doc_id",
+        F.col("mc.n_blocks").alias("n_blocks"),
+        F.col("mc.n_content_blocks").alias("n_content_blocks"),
+        F.col("mc.n_words").alias("n_words"),
+        F.col("mc.n_content_words").alias("n_content_words"),
+        F.col("mc.boilerplate_ratio").alias("boilerplate_ratio"),
+        F.md5("mc.content").alias("content_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # conversion pipeline (SURVEY §2.1-2.4)
@@ -667,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": _q_text_redact_pii,
         "text_repetition": _q_text_repetition,
         "text_unigram_logprob": _q_text_unigram_logprob,
+        "html_main_content": _q_html_main_content,
         # relational operator competence
         "rel_agg_lineitem": _q_rel_agg_lineitem,
         "rel_join_topcustomers": _q_rel_join_topcustomers,
@@ -1457,6 +1498,49 @@ def oracle_sql() -> dict[str, str]:
                    )), 6) AS avg_logprob
             FROM toks LEFT JOIN freq USING (tok), tot
             GROUP BY doc_id
+        """,
+        "html_main_content": """
+            WITH b AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n
+                FROM documents
+            ), p AS (
+                SELECT doc_id, n,
+                       ceil(n / 2.0)::int AS w2,
+                       (n - ceil(n / 2.0)::int) AS w3,
+                       array_to_string(w[1:ceil(n / 2.0)::int], ' ')
+                           AS para1,
+                       array_to_string(w[ceil(n / 2.0)::int + 1:n], ' ')
+                           AS para2
+                FROM b
+            ), c AS (
+                -- the page's fixed blocks: nav(w=3,ld=1), para1(ld=0),
+                -- para2(ld=0), li(w=3,ld=1) x2, footer(w=4,ld=0.5).
+                -- WSDM'10 rules: nav/li/footer fail ld>1/3; para1 has
+                -- prev ld 1.0>0.555 -> content iff w2>40 or w3>17;
+                -- para2 has prev ld 0 -> content iff w3>16 or
+                -- next(li).w=3>15 (never) or w2>4
+                SELECT doc_id, para1, para2, w2, w3,
+                       (w2 > 40 OR w3 > 17) AS c2,
+                       (w3 > 16 OR w2 > 4) AS c3
+                FROM p
+            )
+            SELECT doc_id,
+                   6::int AS n_blocks,
+                   (c2::int + c3::int)::int AS n_content_blocks,
+                   (13 + w2 + w3)::int AS n_words,
+                   (CASE WHEN c2 THEN w2 ELSE 0 END
+                    + CASE WHEN c3 THEN w3 ELSE 0 END)::int
+                       AS n_content_words,
+                   round(1.0 - (CASE WHEN c2 THEN w2 ELSE 0 END
+                                + CASE WHEN c3 THEN w3 ELSE 0 END)::double
+                             / (13 + w2 + w3), 6) AS boilerplate_ratio,
+                   md5(concat_ws(chr(10) || chr(10),
+                                 CASE WHEN c2 THEN para1 END,
+                                 CASE WHEN c3 THEN para2 END))
+                       AS content_md5
+            FROM c
         """,
         "corpus_split": _corpus_split_oracle(),
         "corpus_shards": """

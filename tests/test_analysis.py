@@ -266,6 +266,31 @@ def test_multimodal_resize_and_frames(spark):
         assert all(f.n_bytes == len(bytes(f.frame)) for f in fs)
 
 
+def test_main_content_spark_binding_map_side(spark):
+    """The extraction UDF runs map-side (no Exchange in the plan) and
+    matches the pure-Python kernel row for row."""
+    import contextlib
+    import io
+
+    from anytomd_spark.analysis.web_extract import main_content
+    from anytomd_spark.kernels.main_content import extract_main_content
+
+    body = " ".join(["w"] * 30)
+    pages = [
+        (0, f'<nav><a href="/">Home</a></nav><p>{body}</p>'),
+        (1, '<ul><li><a href="/x">only links here</a></li></ul>'),
+        (2, ""),
+    ]
+    df = main_content(spark.createDataFrame(pages, "doc_id long, html string"))
+    rows = {r.doc_id: r.mc.asDict() for r in df.collect()}
+    for i, html in pages:
+        assert rows[i] == extract_main_content(html)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    assert "Exchange" not in buf.getvalue()
+
+
 def test_png_features_real_decode_matches_generator_truth(spark):
     """The REAL multimodal image path: Spark decodes the encoded PNGs
     (all five filter types, all five color types) inside Arrow batches
