@@ -124,17 +124,36 @@ def main() -> None:
         print(f"{name}: {raw_mb:.1f} MB XML in {dt:.2f}s "
               f"({raw_mb / dt:.1f} MB/s) target<=2s: {'PASS' if ok else 'FAIL'}")
 
+    # replace the LATEST section in place (keep historical ones from
+    # earlier rounds readable, but repeated runs within a round must not
+    # accumulate — same hygiene as memory_probe, ADVICE r3)
+    import datetime
+
+    header = "## OOXML 10 MB single-thread latency"
+    section = (
+        f"\n{header} (reference target TECH_SPEC.md:834-836: <= 2 s; "
+        f"measured {datetime.datetime.now():%Y-%m-%d %H:%M})\n\n"
+        "| format | uncompressed XML MB | sec | markdown chars | <=2s |\n"
+        "|---|---|---|---|---|\n"
+    )
+    for name, mb, dt, chars, ok in results:
+        section += (f"| {name} | {mb:.1f} | {dt:.2f} | {chars} | "
+                    f"{'PASS' if ok else 'FAIL'} |\n")
     bench_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "BASELINE.md"), "a") as f:
-        f.write("\n## OOXML 10 MB single-thread latency "
-                "(reference target TECH_SPEC.md:834-836: <= 2 s)\n\n"
-                "| format | uncompressed XML MB | sec | markdown chars | <=2s |\n"
-                "|---|---|---|---|---|\n")
-        for name, mb, dt, chars, ok in results:
-            f.write(f"| {name} | {mb:.1f} | {dt:.2f} | {chars} | "
-                    f"{'PASS' if ok else 'FAIL'} |\n")
+    path = os.path.join(bench_dir, "BASELINE.md")
+    doc = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = f.read()
+    start = doc.find(f"\n{header} (reference target TECH_SPEC.md:834-836: "
+                     "<= 2 s; measured ")
+    if start != -1:  # a timestamped (replaceable) section exists
+        nxt = doc.find("\n## ", start + 1)
+        doc = doc[:start] + (doc[nxt:] if nxt != -1 else "")
+    with open(path, "w") as f:
+        f.write(doc + section)
 
 
 if __name__ == "__main__":
