@@ -660,6 +660,30 @@ def _q_html_main_content(spark, sf):
     )
 
 
+def _q_pdf_text_extract(spark, sf):
+    """PDF text extraction (north rule: "PDF/layout parse"): each
+    document is typeset into a REAL multi-page FlateDecode PDF (8-word
+    lines, 20-line pages) and the stdlib content-stream walker must
+    recover the exact text; the oracle rebuilds the expected line
+    structure from the raw words in SQL. The converter dispatch still
+    rejects PDFs (reference parity) — this is the beyond-reference
+    pipeline operator."""
+    from anytomd_spark.analysis.web_extract import pdf_text, typeset_pdf_udf
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = pdf_text(
+        docs.select(
+            "doc_id", typeset_pdf_udf(F.trim(F.col("text"))).alias("pdf")
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.col("pdf_text.n_pages").alias("n_pages"),
+        F.col("pdf_text.n_streams").alias("n_streams"),
+        F.md5("pdf_text.text").alias("text_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # conversion pipeline (SURVEY §2.1-2.4)
@@ -708,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_unigram_logprob": _q_text_unigram_logprob,
         "html_main_content": _q_html_main_content,
+        "pdf_text_extract": _q_pdf_text_extract,
         # relational operator competence
         "rel_agg_lineitem": _q_rel_agg_lineitem,
         "rel_join_topcustomers": _q_rel_join_topcustomers,
@@ -1541,6 +1566,24 @@ def oracle_sql() -> dict[str, str]:
                                  CASE WHEN c3 THEN para2 END))
                        AS content_md5
             FROM c
+        """,
+        "pdf_text_extract": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n
+                FROM documents
+            ), l AS (
+                SELECT doc_id,
+                       [array_to_string(w[i*8+1:least((i+1)*8, n)], ' ')
+                        for i in range(0, ceil(n / 8.0)::int)] AS lines
+                FROM t
+            )
+            SELECT doc_id,
+                   ceil(len(lines) / 20.0)::int AS n_pages,
+                   ceil(len(lines) / 20.0)::int AS n_streams,
+                   md5(array_to_string(lines, chr(10))) AS text_md5
+            FROM l
         """,
         "corpus_split": _corpus_split_oracle(),
         "corpus_shards": """

@@ -40,3 +40,51 @@ def main_content(docs: DataFrame, html_col: str = "html") -> DataFrame:
     """Append the extraction struct as ``mc`` (map-side only, no
     shuffle; Arrow-batched)."""
     return docs.withColumn("mc", extract_main_content_udf(F.col(html_col)))
+
+
+PDF_TEXT_SCHEMA = (
+    "text string, n_pages int, n_streams int, n_fonts_skipped int, "
+    "error string"
+)
+
+_PDF_COLS = ["text", "n_pages", "n_streams", "n_fonts_skipped", "error"]
+
+
+@pandas_udf(PDF_TEXT_SCHEMA)
+def extract_pdf_text_udf(payloads: pd.Series) -> pd.DataFrame:
+    from anytomd_spark.kernels.pdf_text import PdfError, extract_pdf_text
+
+    rows = []
+    for p in payloads:
+        try:
+            r = extract_pdf_text(bytes(p) if p is not None else b"")
+            rows.append([r["text"], r["n_pages"], r["n_streams"],
+                         r["n_fonts_skipped"], None])
+        except PdfError as e:
+            rows.append([None, None, None, None, str(e)])
+    return pd.DataFrame(rows, columns=_PDF_COLS)
+
+
+@pandas_udf("binary")
+def typeset_pdf_udf(texts: pd.Series) -> pd.Series:
+    """Deterministic typesetter for tests/synthetic corpora: 8-word
+    lines, 20-line pages, FlateDecode streams (kernels/pdf_text
+    build_pdf)."""
+    from anytomd_spark.kernels.pdf_text import build_pdf
+
+    out = []
+    for t in texts:
+        words = (t or "").split()
+        lines = [" ".join(words[i:i + 8]) for i in range(0, len(words), 8)]
+        pages = [lines[i:i + 20] for i in range(0, len(lines), 20)]
+        out.append(build_pdf(pages or [[""]]))
+    return pd.Series(out)
+
+
+def pdf_text(docs: DataFrame, pdf_col: str = "pdf") -> DataFrame:
+    """PDF text extraction over an opaque binary column (north rule:
+    "PDF/layout parse") — stdlib content-stream walker, per-row error
+    capture, map-side Arrow batches. The CONVERTER dispatch still
+    rejects PDFs (reference parity, kernels/convert.py); this is the
+    beyond-reference pipeline operator."""
+    return docs.withColumn("pdf_text", extract_pdf_text_udf(F.col(pdf_col)))
