@@ -684,6 +684,24 @@ def _q_pdf_text_extract(spark, sf):
     )
 
 
+def _q_pdf_layout_lines(spark, sf):
+    """PDF LAYOUT parse: positioned text lines in reading order from
+    the typeset PDFs — the writer places page p / line i at
+    (72, 720 - 14*i), so the oracle reconstructs every (page, line,
+    x, y, text) tuple from the raw words in SQL; any drift in the
+    Td/TD/Tm/T* position tracking or baseline merge hash-mismatches."""
+    from anytomd_spark.analysis.web_extract import pdf_layout, typeset_pdf_udf
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = pdf_layout(
+        docs.select(
+            "doc_id", typeset_pdf_udf(F.trim(F.col("text"))).alias("pdf")
+        )
+    )
+    return out.select("doc_id", "page", "line", "x", "y",
+                      F.md5("text").alias("text_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # conversion pipeline (SURVEY §2.1-2.4)
@@ -733,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _q_text_unigram_logprob,
         "html_main_content": _q_html_main_content,
         "pdf_text_extract": _q_pdf_text_extract,
+        "pdf_layout_lines": _q_pdf_layout_lines,
         # relational operator competence
         "rel_agg_lineitem": _q_rel_agg_lineitem,
         "rel_join_topcustomers": _q_rel_join_topcustomers,
@@ -1583,6 +1602,26 @@ def oracle_sql() -> dict[str, str]:
                    ceil(len(lines) / 20.0)::int AS n_pages,
                    ceil(len(lines) / 20.0)::int AS n_streams,
                    md5(array_to_string(lines, chr(10))) AS text_md5
+            FROM l
+        """,
+        "pdf_layout_lines": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n
+                FROM documents
+            ), l AS (
+                SELECT doc_id, unnest(range(0, ceil(n / 8.0)::int)) AS i,
+                       w, n
+                FROM t
+            )
+            SELECT doc_id,
+                   (i // 20)::int AS page,
+                   (i % 20)::int AS line,
+                   72.0::double AS x,
+                   (720 - 14 * (i % 20))::double AS y,
+                   md5(array_to_string(w[i*8+1:least((i+1)*8, n)], ' '))
+                       AS text_md5
             FROM l
         """,
         "corpus_split": _corpus_split_oracle(),

@@ -88,3 +88,35 @@ def pdf_text(docs: DataFrame, pdf_col: str = "pdf") -> DataFrame:
     rejects PDFs (reference parity, kernels/convert.py); this is the
     beyond-reference pipeline operator."""
     return docs.withColumn("pdf_text", extract_pdf_text_udf(F.col(pdf_col)))
+
+
+PDF_LAYOUT_SCHEMA = (
+    "doc_id long, page int, line int, x double, y double, text string"
+)
+
+
+def pdf_layout(docs: DataFrame, id_col: str = "doc_id",
+               pdf_col: str = "pdf") -> DataFrame:
+    """LAYOUT parse: one output row per positioned text line, in
+    reading order (page, top-to-bottom, baseline-merged left-to-right)
+    — the one-to-many Arrow batch shape (same contract as frame
+    sampling). Unparseable payloads emit no rows."""
+    from anytomd_spark.kernels.pdf_text import PdfError, extract_pdf_layout
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[pdf_col]):
+                try:
+                    lines = extract_pdf_layout(
+                        bytes(payload) if payload is not None else b"")
+                except PdfError:
+                    continue
+                for r in lines:
+                    rows.append((int(doc_id), r["page"], r["line"],
+                                 r["x"], r["y"], r["text"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "line", "x", "y", "text"])
+
+    return docs.select(id_col, pdf_col).mapInPandas(
+        run, schema=PDF_LAYOUT_SCHEMA)

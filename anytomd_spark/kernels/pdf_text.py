@@ -85,74 +85,125 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _content_text(stream: bytes) -> str:
-    """Walk one content stream's token sequence; emit shown text."""
-    lines: list[str] = [""]
-    pend: list[str] = []   # strings seen since the last operator
+def _ops(stream: bytes):
+    """Tokenize one content stream into (operator, operands) events.
+
+    Operands are decoded strings (from literal/hex string tokens) and
+    floats, in source order; TJ's bracketed array arrives as the
+    operand list of the ``TJ`` event. Name tokens are dropped."""
+    operands: list = []
     in_array = False
-    array_parts: list[str] = []
-    last_num = 0.0
+    array_parts: list = []
     for m in _TOKEN_RE.finditer(stream):
         tok = m.group(0)
         c = tok[:1]
         if c == b"(":
-            s = _decode_literal(tok[1:-1])
-            if in_array:
-                array_parts.append(s)
-            else:
-                pend = [s]
+            (array_parts if in_array else operands).append(
+                _decode_literal(tok[1:-1])
+            )
         elif c == b"<":
             hx = re.sub(rb"\s", b"", tok[1:-1])
             if len(hx) % 2:
                 hx += b"0"
-            s = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
-            if in_array:
-                array_parts.append(s)
-            else:
-                pend = [s]
+            (array_parts if in_array else operands).append(
+                bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+            )
         elif tok == b"[":
             in_array, array_parts = True, []
         elif tok == b"]":
             in_array = False
         elif c in b"-+0123456789.":
             try:
-                last_num = float(tok)
+                num = float(tok)
             except ValueError:
-                last_num = 0.0
-            if in_array and last_num <= -180:
-                array_parts.append(" ")  # TJ word-gap kerning
+                num = 0.0
+            (array_parts if in_array else operands).append(num)
         elif c == b"/":
             continue
         else:  # operator
-            op = tok
-            if op == b"Tj":
-                lines[-1] += "".join(pend)
-            elif op == b"TJ":
-                lines[-1] += "".join(array_parts)
+            if tok == b"TJ":
+                yield tok, array_parts
                 array_parts = []
-            elif op in (b"'", b'"'):
-                lines.append("".join(pend))
-            elif op in (b"Td", b"TD", b"T*", b"ET"):
-                if lines[-1]:
-                    lines.append("")
-            pend = []
+            else:
+                yield tok, operands
+            operands = []
+
+
+def _shown(args: list) -> str:
+    """Concatenate a show-op's operand list; TJ kerning adjustments
+    <= -180/1000 em become word gaps."""
+    out = []
+    for a in args:
+        if isinstance(a, str):
+            out.append(a)
+        elif a <= -180:
+            out.append(" ")
+    return "".join(out)
+
+
+def _content_text(stream: bytes) -> str:
+    """Walk one content stream's op sequence; emit shown text."""
+    lines: list[str] = [""]
+    for op, args in _ops(stream):
+        if op in (b"Tj", b"TJ"):
+            lines[-1] += _shown(args)
+        elif op in (b"'", b'"'):
+            lines.append(_shown([a for a in args if isinstance(a, str)]))
+        elif op in (b"Td", b"TD", b"T*", b"ET"):
+            if lines[-1]:
+                lines.append("")
     return "\n".join(l for l in lines if l)
 
 
-def extract_pdf_text(data: bytes) -> dict:
-    """Extract text from a PDF.
+def _content_fragments(stream: bytes) -> list[tuple[float, float, str]]:
+    """Positioned text fragments (line-anchor x, y, text) from one
+    content stream — the LAYOUT view. Tracks the text-line origin
+    through Td/TD (relative moves), Tm (absolute set, its e/f
+    translation), T* and '/" (next line by the TL leading, which TD
+    sets to -ty). Intra-line glyph advance is not modeled: fragments
+    anchor at their line start, which is what reading-order sorting
+    needs."""
+    frags: list[tuple[float, float, str]] = []
+    x = y = 0.0
+    tl = 0.0
+    for op, args in _ops(stream):
+        nums = [a for a in args if isinstance(a, float)]
+        if op == b"BT":
+            x = y = 0.0
+        elif op == b"Td" and len(nums) >= 2:
+            x += nums[-2]
+            y += nums[-1]
+        elif op == b"TD" and len(nums) >= 2:
+            x += nums[-2]
+            y += nums[-1]
+            tl = -nums[-1]
+        elif op == b"TL" and nums:
+            tl = nums[-1]
+        elif op == b"Tm" and len(nums) >= 6:
+            x, y = nums[-2], nums[-1]
+        elif op == b"T*":
+            y -= tl
+        elif op in (b"Tj", b"TJ"):
+            s = _shown(args)
+            if s:
+                frags.append((x, y, s))
+        elif op in (b"'", b'"'):
+            y -= tl
+            s = _shown([a for a in args if isinstance(a, str)])
+            if s:
+                frags.append((x, y, s))
+    return frags
 
-    Returns ``{"text", "n_pages", "n_streams", "n_fonts_skipped"}``.
-    Raises :class:`PdfError` on non-PDF or encrypted input.
-    """
+
+def _check_header(data: bytes) -> None:
     if not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF (missing %PDF- header)")
     if re.search(rb"/Encrypt\b", data):
         raise PdfError("encrypted PDF not supported")
-    n_pages = len(re.findall(rb"/Type\s*/Page[^s]", data))
-    n_fonts_skipped = len(_TYPE0_RE.findall(data))
-    texts: list[str] = []
-    n_streams = 0
+
+
+def _content_streams(data: bytes):
+    """Yield each decoded content stream (contains BT text blocks)."""
     for om in _OBJ_RE.finditer(data):
         body = om.group(3)
         sm = _STREAM_RE.search(body)
@@ -189,18 +240,54 @@ def extract_pdf_text(data: bytes) -> dict:
         else:
             raw = candidates[0]
         # content streams contain text blocks; skip fonts/images
-        if b"BT" not in raw:
-            continue
+        if b"BT" in raw:
+            yield raw
+
+
+def extract_pdf_text(data: bytes) -> dict:
+    """Extract text from a PDF.
+
+    Returns ``{"text", "n_pages", "n_streams", "n_fonts_skipped"}``.
+    Raises :class:`PdfError` on non-PDF or encrypted input.
+    """
+    _check_header(data)
+    texts: list[str] = []
+    n_streams = 0
+    for raw in _content_streams(data):
         n_streams += 1
         t = _content_text(raw)
         if t:
             texts.append(t)
     return {
         "text": "\n".join(texts),
-        "n_pages": n_pages,
+        "n_pages": len(re.findall(rb"/Type\s*/Page[^s]", data)),
         "n_streams": n_streams,
-        "n_fonts_skipped": n_fonts_skipped,
+        "n_fonts_skipped": len(_TYPE0_RE.findall(data)),
     }
+
+
+def extract_pdf_layout(data: bytes) -> list[dict]:
+    """LAYOUT view: positioned text lines in reading order.
+
+    Each content stream (page, in stream order) yields its fragments
+    anchored at their text-line origin; fragments sharing a (rounded)
+    baseline merge left-to-right into one line, and lines sort
+    top-to-bottom (PDF y grows upward). Returns
+    ``[{"page", "line", "x", "y", "text"}, ...]``.
+    """
+    _check_header(data)
+    out: list[dict] = []
+    for page, raw in enumerate(_content_streams(data)):
+        by_line: dict[float, list[tuple[float, str]]] = {}
+        for x, y, s in _content_fragments(raw):
+            by_line.setdefault(round(y, 3), []).append((x, s))
+        for li, yk in enumerate(sorted(by_line, reverse=True)):
+            parts = sorted(by_line[yk], key=lambda p: p[0])
+            out.append({
+                "page": page, "line": li, "x": parts[0][0], "y": yk,
+                "text": " ".join(p[1] for p in parts),
+            })
+    return out
 
 
 # --------------------------------------------------------------------------

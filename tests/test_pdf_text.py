@@ -11,6 +11,7 @@ from anytomd_spark.kernels.pdf_text import (
     PdfError,
     _content_text,
     build_pdf,
+    extract_pdf_layout,
     extract_pdf_text,
 )
 
@@ -118,6 +119,45 @@ class TestStreamDelimiters:
             out = extract_pdf_text(_pdf_with_stream(stream, compress=True))
             assert out["text"] == body
         assert found == 5
+
+
+class TestLayout:
+    """Positioned lines — coordinates hand-derived from the spec's
+    text-positioning operator semantics (ISO 32000 §9.4.2)."""
+
+    def _rows(self, stream):
+        return extract_pdf_layout(_pdf_with_stream(stream))
+
+    def test_td_relative_moves(self):
+        rows = self._rows(b"BT 72 720 Td (first) Tj 0 -14 Td (second) Tj ET")
+        assert [(r["x"], r["y"], r["text"]) for r in rows] == [
+            (72.0, 720.0, "first"), (72.0, 706.0, "second")]
+        assert [r["line"] for r in rows] == [0, 1]
+
+    def test_tm_absolute_and_t_star_leading(self):
+        rows = self._rows(b"BT 1 0 0 1 100 500 Tm (a) Tj 20 TL T* (b) Tj ET")
+        assert [(r["x"], r["y"], r["text"]) for r in rows] == [
+            (100.0, 500.0, "a"), (100.0, 480.0, "b")]
+
+    def test_td_uppercase_sets_leading_for_quote(self):
+        # TD sets TL = -ty; ' advances one leading before showing
+        rows = self._rows(b"BT 72 720 Td 0 -14 TD (a) Tj (b) ' ET")
+        assert [(r["y"], r["text"]) for r in rows] == [
+            (706.0, "a"), (692.0, "b")]
+
+    def test_same_baseline_merges_left_to_right(self):
+        rows = self._rows(
+            b"BT 300 700 Td (right) Tj 1 0 0 1 72 700 Tm (left) Tj ET")
+        assert len(rows) == 1
+        assert rows[0]["text"] == "left right"
+        assert rows[0]["x"] == 72.0
+
+    def test_pages_in_stream_order(self):
+        data = build_pdf([["page one line"], ["page two line"]])
+        rows = extract_pdf_layout(data)
+        assert [(r["page"], r["text"]) for r in rows] == [
+            (0, "page one line"), (1, "page two line")]
+        assert all(r["x"] == 72.0 and r["y"] == 720.0 for r in rows)
 
 
 class TestWriterRoundTrip:
