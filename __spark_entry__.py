@@ -684,6 +684,32 @@ def _q_pdf_text_extract(spark, sf):
     )
 
 
+SAMPLE_MIX_RATES = {f"src{i}": round(0.05 + 0.09 * i, 2) for i in range(10)}
+
+
+def _q_corpus_sample_mix(spark, sf):
+    """Deterministic per-source rate sampling (domain-mix curation):
+    sources src0..src9 kept at rates 0.05..0.86, src10+ dropped. Pure
+    map-side md5-prefix filter — the oracle re-applies the identical
+    thresholds in SQL, so membership (not just counts) is value-gated."""
+    from anytomd_spark.analysis.corpus import hash_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return hash_sample(docs, rates=SAMPLE_MIX_RATES).select(
+        "doc_id", "source")
+
+
+def _sample_mix_oracle() -> str:
+    from anytomd_spark.analysis.corpus import rate_threshold
+
+    conds = " OR ".join(
+        f"(source = '{s}' AND substring(md5(doc_id::varchar || ':13'), "
+        f"1, 8) < '{rate_threshold(r)}')"
+        for s, r in SAMPLE_MIX_RATES.items()
+    )
+    return f"SELECT doc_id, source FROM documents WHERE {conds}"
+
+
 def _q_pdf_layout_lines(spark, sf):
     """PDF LAYOUT parse: positioned text lines in reading order from
     the typeset PDFs — the writer places page p / line i at
@@ -752,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": _q_html_main_content,
         "pdf_text_extract": _q_pdf_text_extract,
         "pdf_layout_lines": _q_pdf_layout_lines,
+        "corpus_sample_mix": _q_corpus_sample_mix,
         # relational operator competence
         "rel_agg_lineitem": _q_rel_agg_lineitem,
         "rel_join_topcustomers": _q_rel_join_topcustomers,
@@ -1624,6 +1651,7 @@ def oracle_sql() -> dict[str, str]:
                        AS text_md5
             FROM l
         """,
+        "corpus_sample_mix": _sample_mix_oracle(),
         "corpus_split": _corpus_split_oracle(),
         "corpus_shards": """
             WITH t AS (

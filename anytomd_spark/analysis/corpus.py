@@ -66,6 +66,45 @@ def deterministic_split(
     return docs.withColumn("split", expr.otherwise(F.lit(last)))
 
 
+def rate_threshold(rate: float) -> str:
+    """8-hex-char upper bound for an md5-prefix keep test at ``rate``."""
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def hash_sample(
+    docs: DataFrame,
+    rate: float | None = None,
+    rates: dict[str, float] | None = None,
+    group_col: str = "source",
+    seed: int = 13,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic rate sampling — the corpus-curation step that sets
+    a target domain/source mix: keep a document iff its md5-prefix key
+    sorts below the (per-group) rate threshold.
+
+    Like :func:`deterministic_split`, this is how sampling must work at
+    10^12 docs: content-independent, stable under re-runs /
+    repartitioning / corpus growth (a kept id stays kept when the rate
+    only moves up), and a pure map-side expression — zero shuffle, the
+    filter pushes down next to the scan. ``rates`` maps group values
+    (e.g. source/domain) to keep-rates; groups absent from the map are
+    dropped (explicit mix control). ``rate`` alone applies uniformly.
+    """
+    if (rate is None) == (rates is None):
+        raise ValueError("pass exactly one of rate / rates")
+    key = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 8
+    )
+    if rate is not None:
+        return docs.filter(key < F.lit(rate_threshold(rate)))
+    expr = None
+    for group, r in rates.items():
+        cond = (F.col(group_col) == group) & (key < F.lit(rate_threshold(r)))
+        expr = cond if expr is None else expr | cond
+    return docs.filter(expr)
+
+
 def token_shards(
     docs: DataFrame,
     max_tokens_per_shard: int,

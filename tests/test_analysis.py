@@ -523,6 +523,48 @@ def test_token_shards_sparse_hash_ids_bounded_buckets(spark):
     assert max(per_bucket.values()) <= 4 * 32
 
 
+def test_hash_sample_deterministic_monotone_pushdown(spark):
+    """Deterministic rate sampling: stable across runs/partitioning,
+    monotone in the rate (kept@0.3 is a subset of kept@0.6), per-group
+    rates control the mix, and the filter is pure map-side (no Exchange;
+    pushes next to the scan)."""
+    import contextlib
+    import io
+
+    import pytest as _pytest
+
+    from anytomd_spark.analysis import corpus as CORPUS
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string"))
+        .alias("source"),
+    )
+    a = {r.doc_id for r in CORPUS.hash_sample(docs, rate=0.3).collect()}
+    b = {r.doc_id
+         for r in CORPUS.hash_sample(docs.repartition(7), rate=0.3).collect()}
+    assert a == b and 0.25 < len(a) / 4000 < 0.35
+    big = {r.doc_id for r in CORPUS.hash_sample(docs, rate=0.6).collect()}
+    assert a <= big
+    mixed = CORPUS.hash_sample(
+        docs, rates={"src0": 1.0, "src2": 0.5}).collect()
+    by_src = {}
+    for r in mixed:
+        by_src.setdefault(r.source, 0)
+        by_src[r.source] += 1
+    assert by_src.get("src1") is None and by_src.get("src3") is None
+    assert by_src["src0"] == 1000
+    assert 400 < by_src["src2"] < 600
+    with _pytest.raises(ValueError):
+        CORPUS.hash_sample(docs)
+    with _pytest.raises(ValueError):
+        CORPUS.hash_sample(docs, rate=0.5, rates={"src0": 1.0})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        CORPUS.hash_sample(docs, rate=0.3).explain()
+    assert "Exchange" not in buf.getvalue()
+
+
 def test_decontaminate_flags_and_plan(spark):
     import contextlib
     import io

@@ -279,3 +279,61 @@ class TestSimhashKernelParity:
         fn = simhash_from_hashes.func  # unwrap the pandas_udf
         got = fn(pd.Series([hashes])).iloc[0]
         assert int(got) == sig
+
+
+class TestNewKernelsNeverPanic:
+    """Round-4 kernels (PNG / PDF / main-content) on arbitrary bytes:
+    typed error or clean result, never an unexpected exception or hang.
+    Mirrors the reference's never-panic proptest posture."""
+
+    @given(st.binary(max_size=512))
+    @settings(max_examples=200, deadline=None)
+    def test_png_decode_total(self, data):
+        from anytomd_spark.kernels.png import MAGIC, PngError, decode_png
+
+        try:
+            decode_png(MAGIC + data)
+        except PngError:
+            pass
+
+    @given(st.binary(max_size=512))
+    @settings(max_examples=200, deadline=None)
+    def test_pdf_extract_total(self, data):
+        from anytomd_spark.kernels.pdf_text import (
+            PdfError,
+            extract_pdf_layout,
+            extract_pdf_text,
+        )
+
+        for fn in (extract_pdf_text, extract_pdf_layout):
+            try:
+                fn(b"%PDF-1.4\n" + data)
+            except PdfError:
+                pass
+
+    @given(st.text(max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_main_content_total(self, text):
+        from anytomd_spark.kernels.main_content import extract_main_content
+
+        out = extract_main_content(text)
+        assert out["n_content_blocks"] <= out["n_blocks"]
+        assert 0.0 <= out["boilerplate_ratio"] <= 1.0
+
+    @given(st.lists(st.lists(st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=40), min_size=1, max_size=4), min_size=1, max_size=3),
+        st.booleans())
+    @settings(max_examples=100, deadline=None)
+    def test_pdf_writer_round_trip_printable(self, pages, compress):
+        from anytomd_spark.kernels.pdf_text import build_pdf, extract_pdf_text
+
+        data = build_pdf(pages, compress=compress)
+        out = extract_pdf_text(data)
+        expected = "\n".join(
+            line for page in pages for line in page
+            if line.strip(" ")  # blank-only lines collapse away
+        )
+        # whitespace-lenient: the extractor's line assembly drops empty
+        # shows; word sequence must survive exactly
+        assert out["text"].split() == expected.split()
