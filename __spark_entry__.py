@@ -602,6 +602,24 @@ def _q_media_png_features(spark, sf):
     )
 
 
+def _q_media_wav_features(spark, sf):
+    """REAL audio decode (stdlib RIFF/PCM: 8/16-bit, mono/stereo, three
+    sample rates across the rows): the oracle embeds the GENERATOR's
+    quantized-signal stats — frames, duration, RMS, peak — as literals;
+    byte-level decode is pinned separately by hand vectors in
+    test_wav.py."""
+    from anytomd_spark.analysis.multimodal import (
+        synthesize_wav_media,
+        wav_audio_features,
+    )
+
+    media = synthesize_wav_media(spark, n=24)
+    return wav_audio_features(media).select(
+        "media_id", "sample_rate", "channels", "bit_depth", "n_frames",
+        "duration_ms", "rms", "peak",
+    )
+
+
 def _q_convert_mega_conversation(spark, sf):
     """Driver-visible skew proof (VERDICT r3 #6): every document becomes
     a turn of ONE mega-conversation, converted and ranked through the
@@ -788,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_png_features": _q_media_png_features,
+        "media_wav_features": _q_media_wav_features,
         # structured streaming (stateful operator + watermarked windows)
         "stream_stateful_dedup": _q_stream_stateful_dedup,
         "stream_windowed_metrics": _q_stream_windowed_metrics,
@@ -1025,6 +1044,29 @@ def _png_media_oracle(n: int = 24) -> str:
                pixel_md5, mean_lum::double AS mean_lum
         FROM (VALUES {values}) AS t(media_id, width, height, channels,
                                     pixel_md5, mean_lum)
+    """
+
+
+def _wav_media_oracle(n: int = 24) -> str:
+    """DuckDB twin of _q_media_wav_features: generator ground truth as
+    literals (the quantized-PCM signal's stats)."""
+    from anytomd_spark.analysis.multimodal import wav_media_payloads
+
+    values = ",\n".join(
+        f"({r['media_id']}, {r['sample_rate']}, {r['channels']}, "
+        f"{r['bit_depth']}, {r['n_frames']}, {r['duration_ms']}, "
+        f"{r['rms']!r}, {r['peak']!r})"
+        for r in wav_media_payloads(n)
+    )
+    return f"""
+        SELECT media_id::bigint AS media_id,
+               sample_rate::int AS sample_rate, channels::int AS channels,
+               bit_depth::int AS bit_depth, n_frames::int AS n_frames,
+               duration_ms::int AS duration_ms, rms::double AS rms,
+               peak::double AS peak
+        FROM (VALUES {values}) AS t(media_id, sample_rate, channels,
+                                    bit_depth, n_frames, duration_ms,
+                                    rms, peak)
     """
 
 
@@ -1538,6 +1580,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_oracle(),
         "media_frames": _media_frames_oracle(),
         "media_png_features": _png_media_oracle(),
+        "media_wav_features": _wav_media_oracle(),
         # simhash / lsh-bucket-stats: the xxhash64 signature tables are
         # persisted by the queries; DuckDB recomputes all derived logic
         # (blocking, capped buckets, pair Hamming, bucket stats) from the

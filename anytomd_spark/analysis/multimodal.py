@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from anytomd_spark.kernels import png
+from anytomd_spark.kernels import png, wav
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -52,13 +52,16 @@ def _fake_features(payload: bytes, dim: int = 16) -> list[float]:
 def _real_decode(payload: bytes, kind: str):
     """The real-decoder seam. PNG images decode for real via the
     pure-stdlib codec (:mod:`anytomd_spark.kernels.png` — zlib inflate +
-    scanline unfilter); every other (kind, format) still requires
-    PIL/ffmpeg and fails loudly — swap in on a real cluster."""
+    scanline unfilter); RIFF/PCM audio decodes for real via
+    :mod:`anytomd_spark.kernels.wav`; every other (kind, format) still
+    requires PIL/ffmpeg and fails loudly — swap in on a real cluster."""
     if kind == "image" and payload[:8] == png.MAGIC:
         return png.decode_png(payload)
+    if kind == "audio" and payload[:4] == b"RIFF":
+        return wav.decode_wav(payload)
     raise NotImplementedError(
-        "real media decoding beyond PNG requires PIL/ffmpeg, not present "
-        "in this container — enable on a real cluster and set "
+        "real media decoding beyond PNG/WAV requires PIL/ffmpeg, not "
+        "present in this container — enable on a real cluster and set "
         "FAKE_DECODE = False"
     )
 
@@ -86,11 +89,19 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                             float(img["channels"]),
                             float(round(float(px.mean()), 6)),
                         ]
+                    elif kind == "audio" and payload[:4] == b"RIFF":
+                        # RIFF/PCM audio is REAL too (kernels/wav.py)
+                        wf = wav.wav_features(payload)
+                        feats = [
+                            float(wf["sample_rate"]), float(wf["channels"]),
+                            float(wf["duration_ms"]), wf["rms"],
+                        ]
                     elif FAKE_DECODE:
                         feats = _fake_features(payload, dim)
                     else:
                         feats = _real_decode(payload, kind)
-                except (NotImplementedError, png.PngError) as e:
+                except (NotImplementedError, png.PngError,
+                        wav.WavError) as e:
                     feats, err = [], str(e)
                 out_rows.append((
                     int(media_id), kind, len(payload),
@@ -198,6 +209,94 @@ def synthesize_png_media(spark, n: int = 24, seed: int = 11) -> DataFrame:
          {"width": r["width"], "height": r["height"],
           "sample_rate": None, "duration_ms": None})
         for r in png_media_payloads(n, seed)
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, channels int, bit_depth int, "
+    "n_frames int, duration_ms int, rms double, peak double, "
+    "decode_error string"
+)
+
+
+def wav_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode over an opaque binary column: RIFF/PCM inflate
+    + shallow features (duration, RMS, peak) per Arrow batch, with
+    per-row error capture — the audio twin of :func:`png_features`."""
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    f = wav.wav_features(data)
+                except wav.WavError as e:
+                    rows.append((int(media_id), None, None, None, None,
+                                 None, None, None, str(e)))
+                    continue
+                rows.append((
+                    int(media_id), f["sample_rate"], f["channels"],
+                    f["bit_depth"], f["n_frames"], f["duration_ms"],
+                    f["rms"], f["peak"], None,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "channels",
+                         "bit_depth", "n_frames", "duration_ms", "rms",
+                         "peak", "decode_error"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=WAV_FEATURES_SCHEMA
+    )
+
+
+def wav_media_payloads(n: int = 24, seed: int = 29) -> list[dict]:
+    """Deterministic WAV rows + ground truth: float samples are
+    generated FIRST, quantized exactly as the canonical PCM writer
+    quantizes, and the expected stats come from those quantized values
+    — so the oracle checks decode(encode(x)) against generator-known
+    numbers (the byte-level decode itself is pinned by hand-built
+    vectors in test_wav.py)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000, 44100)[i % 3]
+        channels = 1 + (i % 2)
+        bits = 16 if i % 4 else 8
+        n_frames = 50 + 37 * (i % 5)
+        t = np.arange(n_frames, dtype=np.float32)[:, None]
+        tone = 0.5 * np.sin(2 * np.pi * (220 + 13 * i) * t / rate)
+        noise = 0.1 * rng.standard_normal((n_frames, channels)) \
+            .astype(np.float32)
+        samples = np.clip(tone + noise, -1.0, 1.0).astype(np.float32)
+        data = wav.encode_wav(samples, rate, bit_depth=bits)
+        # expected = the QUANTIZED signal the PCM bytes actually carry
+        if bits == 16:
+            q = np.clip(np.round(samples * 32767.0), -32768, 32767) \
+                .astype(np.float32) / 32768.0
+        else:
+            q = (np.clip(np.round(samples * 127.0) + 128, 0, 255)
+                 .astype(np.float32) - 128.0) / 128.0
+        rows.append({
+            "media_id": i, "payload": data, "sample_rate": rate,
+            "channels": channels, "bit_depth": bits, "n_frames": n_frames,
+            "duration_ms": int(round(n_frames * 1000.0 / rate)),
+            "rms": float(round(float(np.sqrt(np.mean(q * q))), 6)),
+            "peak": float(round(float(np.max(np.abs(q))), 6)),
+        })
+    return rows
+
+
+def synthesize_wav_media(spark, n: int = 24, seed: int = 29) -> DataFrame:
+    rows = [
+        (r["media_id"], "audio", bytearray(r["payload"]),
+         {"width": None, "height": None, "sample_rate": r["sample_rate"],
+          "duration_ms": r["duration_ms"]})
+        for r in wav_media_payloads(n, seed)
     ]
     pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
