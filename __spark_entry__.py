@@ -197,6 +197,16 @@ def _q_dedup_cluster_survivors(spark, sf):
     return DD.dedup_cluster_survivors(docs, clusters).select("doc_id")
 
 
+def _q_dedup_shared_spans(spark, sf):
+    """Substring-dedup candidates (Lee et al. ACL'22, winnowed): doc
+    pairs sharing verbatim >= k+w-1 token runs via winnow-selected
+    md5 span fingerprints; the oracle recomputes fingerprint selection,
+    bucketing, and pair counts entirely in SQL."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return DD.shared_span_pairs(docs, k=8, window=4).select(
+        "a", "b", "n_shared")
+
+
 def _q_sim_cosine_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -775,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_bucket_stats": _q_dedup_lsh_bucket_stats,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "dedup_shared_spans": _q_dedup_shared_spans,
         # similarity family
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ann_lsh": _q_sim_ann_lsh,
@@ -1612,6 +1623,36 @@ def oracle_sql() -> dict[str, str]:
                    )), 6) AS avg_logprob
             FROM toks LEFT JOIN freq USING (tok), tot
             GROUP BY doc_id
+        """,
+        "dedup_shared_spans": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       [md5(array_to_string(tok[i:i+7], ' '))
+                        for i in range(1, len(tok) - 6)] AS spans
+                FROM t WHERE len(tok) >= 8
+            ), sel AS (
+                SELECT doc_id,
+                       CASE WHEN len(spans) >= 4 THEN list_distinct(
+                                [list_min(spans[j:j+3])
+                                 for j in range(1, len(spans) - 2)])
+                            ELSE [list_min(spans)] END AS sel
+                FROM s
+            ), fp AS (
+                SELECT DISTINCT doc_id, unnest(sel) AS h FROM sel
+            ), b AS (
+                SELECT h, list_sort(list(doc_id)) AS ids
+                FROM fp GROUP BY h
+                HAVING len(ids) BETWEEN 2 AND 64
+            ), u AS (
+                SELECT h, unnest(ids) AS did FROM b
+            )
+            SELECT x.did AS a, y.did AS b, count(*)::bigint AS n_shared
+            FROM u x JOIN u y ON x.h = y.h AND x.did < y.did
+            GROUP BY 1, 2
         """,
         "html_main_content": """
             WITH b AS (

@@ -572,3 +572,93 @@ def simhash_pairs_from_sigs(
     return joined.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# --------------------------------------------------------------------------
+# shared-span (substring) dedup — Lee et al. 2022, winnowed fingerprints
+# --------------------------------------------------------------------------
+
+def span_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnow-selected k-token span fingerprints per document — the
+    Spark-native substitute for suffix-array substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022): instead of materializing EVERY k-gram (a k-fold blowup a
+    100 TB corpus cannot shuffle), each sliding window of ``window``
+    consecutive k-gram hashes keeps only its minimum (Schleimer et
+    al.'s winnowing, SIGMOD 2003). Guarantee: any token run of length
+    >= k + window - 1 shared verbatim by two documents shares at least
+    one SELECTED fingerprint, while the explode factor drops to
+    ~n/window rows per document.
+
+    All JVM-side (sequence/transform/slice/md5 under whole-stage
+    codegen — md5, not xxhash64, so an independent engine can recompute
+    the fingerprints). Returns (id, span_hash) distinct rows.
+    """
+    toks = tokenize(text_col)
+    m = F.size(toks) - k + 1  # number of k-gram positions
+    spans = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    selected = F.when(
+        m >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m - window + 1),
+                lambda j: F.array_min(F.slice(spans, j, window)),
+            )
+        ),
+    ).when(m >= 1, F.array(F.array_min(spans)))
+    return (
+        docs.select(F.col(id_col), F.explode(selected).alias("span_hash"))
+        .distinct()
+    )
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 1,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` selected span
+    fingerprints — verbatim-overlap candidates for substring dedup.
+    Plan shape: fingerprint explode (map-side) -> one groupBy on the
+    near-uniform span_hash key with in-aggregate pair unfolding
+    (``_bucket_pairs``: no self-join; degenerate boilerplate spans
+    shared by > max_bucket docs are dropped as non-discriminative) ->
+    pair-count aggregate. Returns (a, b, n_shared)."""
+    fp = span_fingerprints(docs, id_col, text_col, k, window)
+    # same bucket->pairs unfolding as _bucket_pairs, but WITHOUT its
+    # final distinct: counting shared spans needs one row per
+    # (pair, span_hash)
+    ids = F.array_sort(F.collect_list(id_col))
+    grouped = (
+        fp.groupBy("span_hash")
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_arrays).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -440,6 +440,33 @@ def test_dedup_clusters_string_ids_multi_hop(spark, threshold):
     }
 
 
+def test_shared_span_pairs_winnowing_guarantee(spark):
+    """Winnowing guarantee (Schleimer'03): any verbatim token run of
+    length >= k + window - 1 shared by two documents must produce at
+    least one common selected fingerprint — with k=8, window=4, an
+    11-token shared run MUST pair the documents; disjoint documents
+    must not pair; a span present in > max_bucket documents is
+    non-discriminative and dropped."""
+    run = " ".join(f"shared{i}" for i in range(11))
+    docs = [
+        (1, "alpha beta gamma " + run + " delta epsilon zeta eta"),
+        (2, "one two three four five " + run + " six seven"),
+        (3, " ".join(f"unique{i}" for i in range(30))),
+    ]
+    # 70 docs all containing the same boilerplate run -> bucket > 64
+    boiler = " ".join(f"menu{i}" for i in range(12))
+    docs += [(100 + i, f"doc{i} prefix words here " + boiler)
+             for i in range(70)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r.a, r.b): r.n_shared
+             for r in DD.shared_span_pairs(df, k=8, window=4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+    # the 70-doc boilerplate bucket is dropped, not exploded into
+    # ~2400 pairs
+    assert not any(a >= 100 and b >= 100 for a, b in pairs)
+
+
 def test_deterministic_split_stable_and_proportional(spark):
     from anytomd_spark.analysis import corpus as CORPUS
 
