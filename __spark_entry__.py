@@ -738,6 +738,30 @@ def _sample_mix_oracle() -> str:
     return f"SELECT doc_id, source FROM documents WHERE {conds}"
 
 
+def _q_web_domain_stats(spark, sf):
+    """URL extraction + eTLD+1 registered-domain aggregation (corpus
+    curation: domain mixes / blocklists). Deterministic URLs are salted
+    into each document in BOTH engines — incl. a 2-part public suffix
+    (.co.uk) so the suffix logic is value-gated, not just hostname
+    split."""
+    from anytomd_spark.analysis.web_extract import domain_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://sub.example"),
+            F.pmod("doc_id", F.lit(37)).cast("string"),
+            F.lit(".co.uk/p/"), F.col("doc_id").cast("string"),
+            F.lit(" and http://www.host"),
+            F.pmod("doc_id", F.lit(23)).cast("string"),
+            F.lit(".com/x?q=1"),
+        ).alias("text"),
+    )
+    return domain_stats(salted)
+
+
 def _q_pdf_layout_lines(spark, sf):
     """PDF LAYOUT parse: positioned text lines in reading order from
     the typeset PDFs — the writer places page p / line i at
@@ -808,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_extract": _q_pdf_text_extract,
         "pdf_layout_lines": _q_pdf_layout_lines,
         "corpus_sample_mix": _q_corpus_sample_mix,
+        "web_domain_stats": _q_web_domain_stats,
         # relational operator competence
         "rel_agg_lineitem": _q_rel_agg_lineitem,
         "rel_join_topcustomers": _q_rel_join_topcustomers,
@@ -1736,6 +1761,40 @@ def oracle_sql() -> dict[str, str]:
             FROM l
         """,
         "corpus_sample_mix": _sample_mix_oracle(),
+        "web_domain_stats": """
+            WITH s AS (
+                SELECT doc_id,
+                       text || ' see https://sub.example' || (doc_id % 37)
+                            || '.co.uk/p/' || doc_id
+                            || ' and http://www.host' || (doc_id % 23)
+                            || '.com/x?q=1' AS t
+                FROM documents
+            ), u AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(t, 'https?://[^\\s]+'))
+                           AS url
+                FROM s
+            ), h AS (
+                SELECT doc_id,
+                       string_split(
+                           regexp_extract(url, 'https?://([^/?#]+)', 1),
+                           '.') AS p
+                FROM u
+            ), d AS (
+                SELECT doc_id,
+                       CASE WHEN len(p) >= 3
+                                 AND array_to_string(p[-2:], '.') IN
+                                 ('co.uk', 'org.uk', 'ac.uk', 'gov.uk',
+                                  'co.jp', 'co.in', 'co.nz', 'com.au',
+                                  'com.br', 'com.cn')
+                            THEN array_to_string(p[-3:], '.')
+                            ELSE array_to_string(p[-2:], '.') END AS domain
+                FROM h
+            )
+            SELECT domain, count(*)::bigint AS n_urls,
+                   count(DISTINCT doc_id)::bigint AS n_docs
+            FROM d GROUP BY 1
+        """,
         "corpus_split": _corpus_split_oracle(),
         "corpus_shards": """
             WITH t AS (

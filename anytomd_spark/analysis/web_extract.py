@@ -90,6 +90,74 @@ def pdf_text(docs: DataFrame, pdf_col: str = "pdf") -> DataFrame:
     return docs.withColumn("pdf_text", extract_pdf_text_udf(F.col(pdf_col)))
 
 
+URL_PATTERN = r"https?://[^\s]+"
+
+# deliberately-small public-suffix subset (the full PSL is a data file a
+# real deployment ships; the LOGIC — 2-part suffixes take 3 labels — is
+# what matters and is engine-reproducible)
+TWO_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "co.in", "co.nz",
+    "com.au", "com.br", "com.cn",
+)
+
+
+def extract_urls(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, url) per URL occurrence in the text — regexp_extract_all
+    JVM-side, map-only."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    )
+
+
+def registered_domain(host_col) -> "F.Column":
+    """eTLD+1 under the suffix subset above: hosts ending in a 2-part
+    public suffix keep 3 labels, everything else 2."""
+    parts = F.split(host_col, r"\.")
+    last2 = F.array_join(F.slice(parts, -2, 2), ".")
+    return F.when(
+        last2.isin(*TWO_PART_SUFFIXES) & (F.size(parts) >= 3),
+        F.array_join(F.slice(parts, -3, 3), "."),
+    ).otherwise(last2)
+
+
+def domain_stats(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-registered-domain URL/document counts — the corpus-curation
+    view behind domain blocklists and mix dashboards. One explode + one
+    groupBy on the near-uniform domain key."""
+    urls = extract_urls(docs, id_col, text_col)
+    host = F.regexp_extract("url", r"https?://([^/?#]+)", 1)
+    return (
+        urls.select(id_col, registered_domain(host).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )
+
+
+def blocklist_filter(docs: DataFrame, blocked: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Drop documents containing any URL whose registered domain is on
+    the blocklist (``blocked`` has a ``domain`` column — small, so it
+    BROADCASTS; the corpus side never shuffles)."""
+    urls = extract_urls(docs, id_col, text_col)
+    host = F.regexp_extract("url", r"https?://([^/?#]+)", 1)
+    hits = (
+        urls.select(id_col, registered_domain(host).alias("domain"))
+        .join(F.broadcast(blocked.select("domain")), "domain", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(hits, id_col, "left_anti")
+
+
 PDF_LAYOUT_SCHEMA = (
     "doc_id long, page int, line int, x double, y double, text string"
 )

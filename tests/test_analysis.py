@@ -291,6 +291,41 @@ def test_main_content_spark_binding_map_side(spark):
     assert "Exchange" not in buf.getvalue()
 
 
+def test_web_domain_ops(spark):
+    """URL extraction, eTLD+1 under 2-part public suffixes, and the
+    broadcast blocklist filter (corpus side never shuffles)."""
+    import contextlib
+    import io
+
+    from anytomd_spark.analysis.web_extract import (
+        blocklist_filter,
+        domain_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro https://a.news.co.uk/x and http://www.shop.com/y"),
+            (2, "see https://b.news.co.uk/z twice https://b.news.co.uk/w"),
+            (3, "no urls at all here"),
+            (4, "plain http://single.org/path?q=2"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.domain: (r.n_urls, r.n_docs)
+             for r in domain_stats(docs).collect()}
+    assert stats["news.co.uk"] == (3, 2)   # 2-part suffix -> 3 labels
+    assert stats["shop.com"] == (1, 1)     # www stripped by eTLD+1
+    assert stats["single.org"] == (1, 1)
+    blocked = spark.createDataFrame([("news.co.uk",)], "domain string")
+    kept = blocklist_filter(docs, blocked)
+    assert sorted(r.doc_id for r in kept.collect()) == [3, 4]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kept.explain()
+    assert "BroadcastHashJoin" in buf.getvalue() or \
+        "BroadcastExchange" in buf.getvalue()
+
+
 def test_png_features_real_decode_matches_generator_truth(spark):
     """The REAL multimodal image path: Spark decodes the encoded PNGs
     (all five filter types, all five color types) inside Arrow batches
