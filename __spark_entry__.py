@@ -572,6 +572,49 @@ def _q_stream_windowed_metrics(spark, sf):
     )
 
 
+def _q_stream_quality_gate(spark, sf):
+    """Third streaming surface: the conversion stream feeds the SAME
+    quality-gate expressions the batch filter uses (token_count /
+    punct_ratio over the produced markdown), per micro-batch, appended
+    to a checkpointed sink — the incremental form of
+    convert -> quality_filter. Oracle: SQL markdown twin + identical
+    gate arithmetic."""
+    import os
+    import tempfile
+
+    from anytomd_spark.analysis.text_quality import punct_ratio, token_count
+    from anytomd_spark.streaming import convert_stream, read_transcripts_stream
+
+    base = tempfile.mkdtemp(prefix="anytomd_stream_qg_")
+    inp = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    t = documents_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    t.coalesce(2).write.mode("overwrite").parquet(inp)
+    gated = convert_stream(read_transcripts_stream(spark, inp)).select(
+        "conv_id", "turn_idx", "fmt",
+        token_count("markdown").cast("int").alias("n_tokens"),
+        (
+            (token_count("markdown") >= 5)
+            & (punct_ratio("markdown") <= 0.5)
+        ).alias("passes"),
+    )
+    q = (
+        gated.writeStream.foreachBatch(
+            lambda df, _e: df.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_quality_gate did not finish in 300s")
+    return spark.read.parquet(sink)
+
+
 def _q_media_features(spark, sf):
     from anytomd_spark.analysis.multimodal import extract_features, synthesize_media
 
@@ -846,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming (stateful operator + watermarked windows)
         "stream_stateful_dedup": _q_stream_stateful_dedup,
         "stream_windowed_metrics": _q_stream_windowed_metrics,
+        "stream_quality_gate": _q_stream_quality_gate,
         # composed end-to-end pipeline (convert + quality gate + dedup)
         "pipeline_training_corpus": _q_pipeline_training_corpus,
     }
@@ -1367,6 +1411,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'mega' AS conv_id, doc_id::int AS turn_idx,
                    (row_number() OVER (ORDER BY doc_id))::int AS turn_seq
             FROM documents
+        """,
+        "stream_quality_gate": f"""
+            WITH conv AS (
+                SELECT 'doc-conv-' || lpad((doc_id // 5)::varchar, 6, '0')
+                           AS conv_id,
+                       (doc_id % 5)::int AS turn_idx,
+                       {SQL_FMT} AS fmt,
+                       {SQL_MARKDOWN} AS md
+                FROM documents
+            ), tok AS (
+                SELECT conv_id, turn_idx, fmt,
+                       (CASE WHEN length(trim(md)) = 0 THEN 0
+                             ELSE array_length(regexp_split_to_array(
+                                 trim(md), '\\s+')) END)::int AS n_tokens,
+                       CASE WHEN length(md) > 0
+                            THEN length(regexp_replace(md,
+                                '[^!-/:-@\\[-`{{-~]', '', 'g'))::double
+                                 / length(md)
+                            ELSE 0 END AS punct
+                FROM conv
+            )
+            SELECT conv_id, turn_idx, fmt, n_tokens,
+                   (n_tokens >= 5 AND punct <= 0.5) AS passes
+            FROM tok
         """,
         "dedup_exact_stats": """
             SELECT count(*) AS n_docs,
