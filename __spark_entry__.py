@@ -655,6 +655,21 @@ def _q_media_png_features(spark, sf):
     )
 
 
+def _q_media_gif_features(spark, sf):
+    """REAL GIF decode (stdlib LZW + palette, interlace on odd rows,
+    4/16/256-color palettes): oracle embeds the generator's palette-
+    lookup ground truth as literals."""
+    from anytomd_spark.analysis.multimodal import (
+        gif_features,
+        synthesize_gif_media,
+    )
+
+    media = synthesize_gif_media(spark, n=24)
+    return gif_features(media).select(
+        "media_id", "width", "height", "n_frames", "pixel_md5", "mean_lum"
+    )
+
+
 def _q_media_wav_features(spark, sf):
     """REAL audio decode (stdlib RIFF/PCM: 8/16-bit, mono/stereo, three
     sample rates across the rows): the oracle embeds the GENERATOR's
@@ -886,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "media_png_features": _q_media_png_features,
         "media_wav_features": _q_media_wav_features,
+        "media_gif_features": _q_media_gif_features,
         # structured streaming (stateful operator + watermarked windows)
         "stream_stateful_dedup": _q_stream_stateful_dedup,
         "stream_windowed_metrics": _q_stream_windowed_metrics,
@@ -1123,6 +1139,24 @@ def _png_media_oracle(n: int = 24) -> str:
                height::int AS height, channels::int AS channels,
                pixel_md5, mean_lum::double AS mean_lum
         FROM (VALUES {values}) AS t(media_id, width, height, channels,
+                                    pixel_md5, mean_lum)
+    """
+
+
+def _gif_media_oracle(n: int = 24) -> str:
+    """DuckDB twin of _q_media_gif_features: generator ground truth."""
+    from anytomd_spark.analysis.multimodal import gif_media_payloads
+
+    values = ",\n".join(
+        f"({r['media_id']}, {r['width']}, {r['height']}, {r['n_frames']}, "
+        f"'{r['pixel_md5']}', {r['mean_lum']!r})"
+        for r in gif_media_payloads(n)
+    )
+    return f"""
+        SELECT media_id::bigint AS media_id, width::int AS width,
+               height::int AS height, n_frames::int AS n_frames,
+               pixel_md5, mean_lum::double AS mean_lum
+        FROM (VALUES {values}) AS t(media_id, width, height, n_frames,
                                     pixel_md5, mean_lum)
     """
 
@@ -1685,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": _media_frames_oracle(),
         "media_png_features": _png_media_oracle(),
         "media_wav_features": _wav_media_oracle(),
+        "media_gif_features": _gif_media_oracle(),
         # simhash / lsh-bucket-stats: the xxhash64 signature tables are
         # persisted by the queries; DuckDB recomputes all derived logic
         # (blocking, capped buckets, pair Hamming, bucket stats) from the

@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from anytomd_spark.kernels import png, wav
+from anytomd_spark.kernels import gif, png, wav
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -57,12 +57,14 @@ def _real_decode(payload: bytes, kind: str):
     requires PIL/ffmpeg and fails loudly — swap in on a real cluster."""
     if kind == "image" and payload[:8] == png.MAGIC:
         return png.decode_png(payload)
+    if kind == "image" and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return gif.decode_gif(payload)
     if kind == "audio" and payload[:4] == b"RIFF":
         return wav.decode_wav(payload)
     raise NotImplementedError(
-        "real media decoding beyond PNG/WAV requires PIL/ffmpeg, not "
-        "present in this container — enable on a real cluster and set "
-        "FAKE_DECODE = False"
+        "real media decoding beyond PNG/GIF/WAV requires PIL/ffmpeg, "
+        "not present in this container — enable on a real cluster and "
+        "set FAKE_DECODE = False"
     )
 
 
@@ -89,6 +91,14 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                             float(img["channels"]),
                             float(round(float(px.mean()), 6)),
                         ]
+                    elif kind == "image" and payload[:6] in (
+                            b"GIF87a", b"GIF89a"):
+                        img = gif.decode_gif(payload)
+                        px = np.frombuffer(img["pixels"], np.uint8)
+                        feats = [
+                            float(img["width"]), float(img["height"]),
+                            3.0, float(round(float(px.mean()), 6)),
+                        ]
                     elif kind == "audio" and payload[:4] == b"RIFF":
                         # RIFF/PCM audio is REAL too (kernels/wav.py)
                         wf = wav.wav_features(payload)
@@ -101,7 +111,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     else:
                         feats = _real_decode(payload, kind)
                 except (NotImplementedError, png.PngError,
-                        wav.WavError) as e:
+                        gif.GifError, wav.WavError) as e:
                     feats, err = [], str(e)
                 out_rows.append((
                     int(media_id), kind, len(payload),
@@ -209,6 +219,81 @@ def synthesize_png_media(spark, n: int = 24, seed: int = 11) -> DataFrame:
          {"width": r["width"], "height": r["height"],
           "sample_rate": None, "duration_ms": None})
         for r in png_media_payloads(n, seed)
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+
+GIF_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, n_frames int, "
+    "pixel_md5 string, mean_lum double, decode_error string"
+)
+
+
+def gif_features(media: DataFrame) -> DataFrame:
+    """REAL GIF decode (stdlib LZW + palette) per Arrow batch — the GIF
+    twin of :func:`png_features`."""
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    img = gif.decode_gif(data)
+                except gif.GifError as e:
+                    rows.append((int(media_id), None, None, None, None,
+                                 None, str(e)))
+                    continue
+                px = np.frombuffer(img["pixels"], np.uint8)
+                rows.append((
+                    int(media_id), img["width"], img["height"],
+                    img["n_frames"],
+                    hashlib.md5(img["pixels"]).hexdigest(),
+                    float(round(float(px.mean()), 6)), None,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_frames",
+                         "pixel_md5", "mean_lum", "decode_error"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=GIF_FEATURES_SCHEMA
+    )
+
+
+def gif_media_payloads(n: int = 24, seed: int = 31) -> list[dict]:
+    """Deterministic GIFs + ground truth: palette/indices generated
+    FIRST, expected RGB computed from them (palette lookup — no decoder
+    involved), encoded with the uncompressed-LZW writer; palette sizes
+    and interlace cycle across rows."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        n_colors = (4, 16, 256)[i % 3]
+        w, h = 6 + (i % 5), 4 + (i % 7)
+        pal = rng.integers(0, 256, size=3 * n_colors, dtype=np.uint8)
+        idx = rng.integers(0, n_colors, size=w * h, dtype=np.uint8)
+        data = gif.encode_gif(w, h, idx.tobytes(), pal.tobytes(),
+                              interlace=bool(i % 2))
+        truth = pal.reshape(n_colors, 3)[idx].tobytes()
+        px = np.frombuffer(truth, np.uint8)
+        rows.append({
+            "media_id": i, "payload": data, "width": w, "height": h,
+            "n_frames": 1,
+            "pixel_md5": hashlib.md5(truth).hexdigest(),
+            "mean_lum": float(round(float(px.mean()), 6)),
+        })
+    return rows
+
+
+def synthesize_gif_media(spark, n: int = 24, seed: int = 31) -> DataFrame:
+    rows = [
+        (r["media_id"], "image", bytearray(r["payload"]),
+         {"width": r["width"], "height": r["height"],
+          "sample_rate": None, "duration_ms": None})
+        for r in gif_media_payloads(n, seed)
     ]
     pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)

@@ -337,3 +337,23 @@ class TestNewKernelsNeverPanic:
         # whitespace-lenient: the extractor's line assembly drops empty
         # shows; word sequence must survive exactly
         assert out["text"].split() == expected.split()
+
+    @given(st.binary(max_size=512))
+    @settings(max_examples=200, deadline=None)
+    def test_gif_decode_total(self, data):
+        from anytomd_spark.kernels.gif import GifError, decode_gif
+
+        try:
+            decode_gif(b"GIF89a" + data)
+        except GifError:
+            pass
+
+    @given(st.binary(max_size=512))
+    @settings(max_examples=200, deadline=None)
+    def test_wav_decode_total(self, data):
+        from anytomd_spark.kernels.wav import WavError, decode_wav
+
+        try:
+            decode_wav(b"RIFF" + data)
+        except WavError:
+            pass
