@@ -796,6 +796,46 @@ def _sample_mix_oracle() -> str:
     return f"SELECT doc_id, source FROM documents WHERE {conds}"
 
 
+def _q_warc_extract(spark, sf):
+    """Crawl-ingest edge (Common-Crawl-shaped): WARC container parse
+    (plain + member-gzip) -> HTTP response split -> main-content strip
+    over HTML bodies, one row per record; the oracle embeds the
+    generator's structural ground truth (record fields, body md5,
+    rule-decided content md5) as literals."""
+    import pandas as pd
+
+    from anytomd_spark.analysis.web_extract import (
+        warc_crawl_payloads,
+        warc_extract,
+    )
+
+    blobs, _ = warc_crawl_payloads(16)
+    pdf = pd.DataFrame(
+        [(i, bytearray(b)) for i, b in blobs],
+        columns=["blob_id", "payload"],
+    )
+    df = spark.createDataFrame(pdf, "blob_id long, payload binary")
+    return warc_extract(df)
+
+
+def _warc_oracle() -> str:
+    from anytomd_spark.analysis.web_extract import warc_crawl_payloads
+
+    _, truth = warc_crawl_payloads(16)
+    values = ",\n".join(
+        f"({b}, {ri}, '{wt}', '{url}', {st}, '{ct}', '{bm}', '{cm}')"
+        for b, ri, wt, url, st, ct, bm, cm in truth
+    )
+    return f"""
+        SELECT blob_id::bigint AS blob_id, rec_idx::int AS rec_idx,
+               warc_type, url, status::int AS status, content_type,
+               body_md5, content_md5
+        FROM (VALUES {values}) AS t(blob_id, rec_idx, warc_type, url,
+                                    status, content_type, body_md5,
+                                    content_md5)
+    """
+
+
 def _q_web_domain_stats(spark, sf):
     """URL extraction + eTLD+1 registered-domain aggregation (corpus
     curation: domain mixes / blocklists). Deterministic URLs are salted
@@ -891,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_layout_lines": _q_pdf_layout_lines,
         "corpus_sample_mix": _q_corpus_sample_mix,
         "web_domain_stats": _q_web_domain_stats,
+        "warc_extract": _q_warc_extract,
         # relational operator competence
         "rel_agg_lineitem": _q_rel_agg_lineitem,
         "rel_join_topcustomers": _q_rel_join_topcustomers,
@@ -1864,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
             FROM l
         """,
         "corpus_sample_mix": _sample_mix_oracle(),
+        "warc_extract": _warc_oracle(),
         "web_domain_stats": """
             WITH s AS (
                 SELECT doc_id,

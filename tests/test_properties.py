@@ -357,3 +357,13 @@ class TestNewKernelsNeverPanic:
             decode_wav(b"RIFF" + data)
         except WavError:
             pass
+
+    @given(st.binary(max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_warc_parse_total(self, data):
+        from anytomd_spark.kernels.warc import WarcError, parse_warc
+
+        try:
+            parse_warc(b"WARC/1.0\r\n" + data)
+        except WarcError:
+            pass
