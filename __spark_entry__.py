@@ -804,10 +804,8 @@ def _q_warc_extract(spark, sf):
     rule-decided content md5) as literals."""
     import pandas as pd
 
-    from anytomd_spark.analysis.web_extract import (
-        warc_crawl_payloads,
-        warc_extract,
-    )
+    from anytomd_spark.analysis.web_extract import warc_extract
+    from anytomd_spark.kernels.warc import warc_crawl_payloads
 
     blobs, _ = warc_crawl_payloads(16)
     pdf = pd.DataFrame(
@@ -819,7 +817,10 @@ def _q_warc_extract(spark, sf):
 
 
 def _warc_oracle() -> str:
-    from anytomd_spark.analysis.web_extract import warc_crawl_payloads
+    # session-free import: oracle_sql() must be callable without an
+    # active SparkSession (the driver collects SQL strings first), and
+    # web_extract's module-level pandas_udfs parse DDL at import time
+    from anytomd_spark.kernels.warc import warc_crawl_payloads
 
     _, truth = warc_crawl_payloads(16)
     values = ",\n".join(

@@ -170,3 +170,59 @@ def build_warc(records: list[bytes], gzip_per_record: bool = False) -> bytes:
         c = zlib.compressobj(6, zlib.DEFLATED, 31)
         out += c.compress(r) + c.flush()
     return bytes(out)
+
+
+def warc_crawl_payloads(n: int = 16) -> tuple[list, list]:
+    """Deterministic synthetic crawl: n blobs x 3 records (warcinfo /
+    request / response), alternating plain and member-gzip framing,
+    html and json bodies, three HTTP statuses; page paragraphs cross
+    the WSDM'10 ">40 words after a linky block" threshold mid-range so
+    the main-content rule fires both ways. Returns (blobs, truth) where
+    truth rows are computed from the GENERATOR's structure (never the
+    kernels)."""
+    import hashlib
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa").split()
+    blobs, truth = [], []
+    for i in range(n):
+        k = 5 + 3 * i
+        para = " ".join(words[j % 10] + str(j) for j in range(k))
+        url = f"http://site{i}.example.com/p{i}"
+        if i % 4 == 3:
+            ctype = "application/json"
+            body = (b'{"page": %d}' % i)
+            content = ""
+        else:
+            ctype = "text/html; charset=utf-8"
+            body = (
+                '<html><body><nav><a href="/">Home</a> <a href="/a">'
+                'About</a> <a href="/c">Contact</a></nav><p>' + para +
+                '</p><footer>Copyright 2026 <a href="/t">Terms</a> '
+                '<a href="/p">Privacy</a></footer></body></html>'
+            ).encode()
+            # blocks: nav(3 words, ld=1) | para(k, ld=0) | footer(4,
+            # ld=0.5): para is content iff k > 40 (prev ld > 0.555,
+            # next has only 4 words)
+            content = para if k > 40 else ""
+        status = (200, 301, 404)[i % 3]
+        info = b"software: anytomd-spark-tests\r\n"
+        req = f"GET /p{i} HTTP/1.1\r\nHost: site{i}.example.com\r\n\r\n" \
+            .encode()
+        recs = [
+            build_record("warcinfo", "", info),
+            build_record("request", url, req),
+            build_record("response", url,
+                         build_response_payload(body, status, ctype)),
+        ]
+        blobs.append((i, build_warc(recs, gzip_per_record=bool(i % 2))))
+        truth += [
+            (i, 0, "warcinfo", "", -1, "",
+             hashlib.md5(info).hexdigest(), ""),
+            (i, 1, "request", url, -1, "",
+             hashlib.md5(req).hexdigest(), ""),
+            (i, 2, "response", url, status, ctype,
+             hashlib.md5(body).hexdigest(),
+             hashlib.md5(content.encode()).hexdigest()),
+        ]
+    return blobs, truth
