@@ -31,6 +31,24 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Survivor id + member count per exact-content group: one
+    hash-groupBy yields BOTH the survivor set (``id_col``) and the
+    duplicate statistics (``n_dups = sum(group_size - 1)``), so callers
+    that need stats-plus-survivors pay a single shuffle instead of two
+    separate jobs."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select(id_col, "group_size")
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the lowest id per exact-content group (deterministic survivor)."""
     h = F.md5(F.col(text_col)).alias("content_hash")
@@ -358,10 +376,31 @@ def dedup_clusters(
         ).collect()[0]
         return (row["n"], row["h"])
 
+    # node set from BOTH pair endpoints (not from the filtered edges):
+    # a self-pair (a==a) or a null-paired id has no edge but is still a
+    # singleton cluster — both execution paths must emit it (the driver
+    # path used to derive nodes from edges only, silently dropping
+    # edge-less nodes below the threshold while the distributed path
+    # kept them)
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
     prev = _fingerprint(edges)
-    if prev[0] <= driver_threshold:
+    # the node count guards the collect: self-pair-heavy inputs can have
+    # few edges but many singleton nodes, and the driver path must stay
+    # bounded by construction, never by assumption
+    if prev[0] <= driver_threshold and nodes.count() <= 2 * driver_threshold:
         labeled = _union_find_min(
             [(r["u"], r["v"]) for r in edges.collect()]
+        )
+        seen = {x for x, _ in labeled}
+        labeled.extend(
+            (r["id"], r["id"]) for r in nodes.collect()
+            if r["id"] not in seen
         )
         spark = pairs.sparkSession
         id_type = pairs.schema["a"].dataType
@@ -374,13 +413,6 @@ def dedup_clusters(
                 StructField("cluster_id", id_type),
             ]),
         )
-
-    nodes = (
-        pairs.select(F.col("a").alias("id"))
-        .union(pairs.select(F.col("b").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
     converged = False
     for _ in range(max_iters):
         # large-star: symmetric neighborhoods; each strictly-larger
@@ -434,6 +466,11 @@ def dedup_clusters(
     # Component minima themselves have no outgoing edge — they label
     # themselves via the left join.
     ptr = edges.select(F.col("u").alias("id"), F.col("v").alias("_root"))
+    if not converged:
+        # a non-fixpoint edge set may still hold several outgoing edges
+        # per node; reduce to the minimum so the join below stays one
+        # row per id (duplicate labels would double-count survivors)
+        ptr = ptr.groupBy("id").agg(F.min("_root").alias("_root"))
     return nodes.join(ptr, "id", "left").select(
         "id", F.coalesce("_root", F.col("id")).alias("cluster_id")
     )

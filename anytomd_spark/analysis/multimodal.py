@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from anytomd_spark.kernels import gif, png, wav
+from anytomd_spark.kernels import gif, jpeg, png, wav
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -59,12 +59,14 @@ def _real_decode(payload: bytes, kind: str):
         return png.decode_png(payload)
     if kind == "image" and payload[:6] in (b"GIF87a", b"GIF89a"):
         return gif.decode_gif(payload)
+    if kind == "image" and payload[:3] == jpeg.MAGIC:
+        return jpeg.decode_jpeg(payload)
     if kind == "audio" and payload[:4] == b"RIFF":
         return wav.decode_wav(payload)
     raise NotImplementedError(
-        "real media decoding beyond PNG/GIF/WAV requires PIL/ffmpeg, "
-        "not present in this container — enable on a real cluster and "
-        "set FAKE_DECODE = False"
+        "real media decoding beyond PNG/GIF/JPEG/WAV requires "
+        "PIL/ffmpeg, not present in this container — enable on a real "
+        "cluster and set FAKE_DECODE = False"
     )
 
 
@@ -99,6 +101,15 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                             float(img["width"]), float(img["height"]),
                             3.0, float(round(float(px.mean()), 6)),
                         ]
+                    elif kind == "image" and payload[:3] == jpeg.MAGIC:
+                        # baseline JPEG decodes for REAL (kernels/jpeg.py)
+                        img = jpeg.decode_jpeg(payload)
+                        px = np.frombuffer(img["pixels"], np.uint8)
+                        feats = [
+                            float(img["width"]), float(img["height"]),
+                            float(img["n_components"]),
+                            float(round(float(px.mean()), 6)),
+                        ]
                     elif kind == "audio" and payload[:4] == b"RIFF":
                         # RIFF/PCM audio is REAL too (kernels/wav.py)
                         wf = wav.wav_features(payload)
@@ -110,8 +121,8 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                         feats = _fake_features(payload, dim)
                     else:
                         feats = _real_decode(payload, kind)
-                except (NotImplementedError, png.PngError,
-                        gif.GifError, wav.WavError) as e:
+                except (NotImplementedError, png.PngError, gif.GifError,
+                        jpeg.JpegError, wav.WavError) as e:
                     feats, err = [], str(e)
                 out_rows.append((
                     int(media_id), kind, len(payload),
@@ -387,6 +398,115 @@ def synthesize_wav_media(spark, n: int = 24, seed: int = 29) -> DataFrame:
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
 
 
+JPEG_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, n_components int, "
+    "pixel_md5 string, mean_lum double, decode_error string"
+)
+
+
+def jpeg_features(media: DataFrame) -> DataFrame:
+    """REAL JPEG decode (stdlib baseline codec: marker parse + Huffman
+    entropy decode + dequantize + batched numpy IDCT) per Arrow batch —
+    the JPEG twin of :func:`png_features`. JPEG is the dominant image
+    format of a real crawl corpus and the reference's MIME table treats
+    it as first-class (src/converter/mod.rs:200-235)."""
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    img = jpeg.decode_jpeg(data)
+                except jpeg.JpegError as e:
+                    rows.append((int(media_id), None, None, None, None,
+                                 None, str(e)))
+                    continue
+                px = np.frombuffer(img["pixels"], np.uint8)
+                rows.append((
+                    int(media_id), img["width"], img["height"],
+                    img["n_components"],
+                    hashlib.md5(img["pixels"]).hexdigest(),
+                    float(round(float(px.mean()), 6)), None,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_components",
+                         "pixel_md5", "mean_lum", "decode_error"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=JPEG_FEATURES_SCHEMA
+    )
+
+
+def jpeg_media_payloads(n: int = 24, seed: int = 17) -> list[dict]:
+    """Deterministic JPEGs + ground truth. JPEG is lossy in general, but
+    for 8x8-block-constant samples under a flat quant=1 table the DCT
+    domain is EXACT (DC = 8*(v-128) is integral, every AC coefficient
+    quantizes to 0), so decode(encode(x)) == x and truth is
+    generator-known. Rows cycle grayscale 4:4:4 (truth = the original
+    pixels, fully decoder-independent), RGB 4:4:4 and RGB 4:2:0
+    (constant per 16x16 MCU, so box-subsampling is exact; truth = the
+    per-pixel YCbCr round-trip FORMULA, pinned against hand-computed
+    spec vectors in test_jpeg.py); every 4th row adds restart
+    intervals so the RSTn path is driver-exercised."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        variant = i % 3
+        ri = 2 if i % 4 == 3 else 0
+        if variant == 0:
+            bw, bh = 2 + i % 3, 2 + i % 2
+            w, h = bw * 8, bh * 8
+            vals = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+            px = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+            data = jpeg.encode_jpeg(
+                w, h, px.tobytes(), mode="L", restart_interval=ri
+            )
+            truth, ncomp = px, 1
+        elif variant == 1:
+            bw, bh = 2 + i % 2, 2
+            w, h = bw * 8, bh * 8
+            vals = rng.integers(0, 256, (bh, bw, 3), dtype=np.uint8)
+            px = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+            data = jpeg.encode_jpeg(
+                w, h, px.tobytes(), mode="RGB", restart_interval=ri
+            )
+            truth = jpeg.ycbcr_to_rgb(jpeg.rgb_to_ycbcr(px))
+            ncomp = 3
+        else:
+            mw, mh = 2, 1 + i % 2
+            w, h = mw * 16, mh * 16
+            vals = rng.integers(0, 256, (mh, mw, 3), dtype=np.uint8)
+            px = np.repeat(np.repeat(vals, 16, 0), 16, 1)
+            data = jpeg.encode_jpeg(
+                w, h, px.tobytes(), mode="RGB", subsampling="420",
+                restart_interval=ri,
+            )
+            truth = jpeg.ycbcr_to_rgb(jpeg.rgb_to_ycbcr(px))
+            ncomp = 3
+        t = np.ascontiguousarray(truth)
+        rows.append({
+            "media_id": i, "payload": data, "width": w, "height": h,
+            "n_components": ncomp,
+            "pixel_md5": hashlib.md5(t.tobytes()).hexdigest(),
+            "mean_lum": float(round(float(t.mean()), 6)),
+        })
+    return rows
+
+
+def synthesize_jpeg_media(spark, n: int = 24, seed: int = 17) -> DataFrame:
+    rows = [
+        (r["media_id"], "image", bytearray(r["payload"]),
+         {"width": r["width"], "height": r["height"],
+          "sample_rate": None, "duration_ms": None})
+        for r in jpeg_media_payloads(n, seed)
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>"
@@ -441,10 +561,15 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
 
 
 def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
-    """Video rows -> one output row per sampled frame at ``every_ms``
-    intervals across meta.duration_ms (non-video rows emit nothing).
-    Frame extraction itself is the deterministic fake; the exploded
-    one-to-many Arrow batch shape is the real contract."""
+    """Video rows -> one output row per sampled instant at ``every_ms``
+    intervals (non-video rows emit nothing). Animated-GIF payloads
+    decode for REAL (:func:`kernels.gif.decode_gif_frames` — LZW, GCE
+    delay timeline): the emitted ``frame`` is the raw RGB bytes of the
+    frame active at that instant, exercising a genuine multi-frame
+    container end-to-end. Other video codecs (mp4/h264) still require
+    ffmpeg: deterministic fake under ``FAKE_DECODE``, loud
+    NotImplementedError otherwise."""
+    import bisect
 
     def run(iterator):
         for pdf in iterator:
@@ -454,8 +579,21 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
             ):
                 if kind != "video":
                     continue
-                duration = int((meta or {}).get("duration_ms") or 0)
                 data = bytes(payload) if payload is not None else b""
+                if data[:6] in (b"GIF87a", b"GIF89a"):
+                    anim = gif.decode_gif_frames(data)
+                    starts = [f["ts_ms"] for f in anim["frames"]]
+                    n_samples = max(1, anim["duration_ms"] // every_ms)
+                    for i in range(n_samples):
+                        ts = i * every_ms
+                        j = max(0, bisect.bisect_right(starts, ts) - 1)
+                        frame = anim["frames"][j]["pixels"]
+                        rows.append((
+                            int(media_id), i, ts, bytearray(frame),
+                            len(frame),
+                        ))
+                    continue
+                duration = int((meta or {}).get("duration_ms") or 0)
                 n_frames = max(1, duration // every_ms)
                 for i in range(n_frames):
                     ts = i * every_ms
@@ -473,6 +611,59 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def gif_video_payloads(n: int = 12, seed: int = 23,
+                       every_ms: int = 250) -> list[dict]:
+    """Deterministic animated GIFs + ground-truth frame samples: frame
+    index grids and the palette are generated FIRST, the expected
+    sampled frames (palette lookup of the ORIGINAL indices at each
+    ``every_ms`` instant, per the GCE delay timeline) are computed
+    without the decoder, then the frames are encoded with the
+    uncompressed-LZW animation writer. Frame counts, palette sizes and
+    delays vary across rows."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = 6 + i % 5, 4 + i % 4
+        n_colors = (4, 16)[i % 2]
+        n_frames = 2 + i % 3
+        pal = rng.integers(0, 256, size=3 * n_colors, dtype=np.uint8)
+        frames_idx = [
+            rng.integers(0, n_colors, size=w * h, dtype=np.uint8)
+            for _ in range(n_frames)
+        ]
+        delays = [100 + 100 * ((i + j) % 3) for j in range(n_frames)]
+        payload = gif.encode_gif_animation(
+            w, h, [f.tobytes() for f in frames_idx], pal.tobytes(), delays
+        )
+        starts = np.cumsum([0] + delays[:-1])
+        duration = int(sum(delays))
+        samples = []
+        for s in range(max(1, duration // every_ms)):
+            ts = s * every_ms
+            j = int(np.searchsorted(starts, ts, side="right")) - 1
+            truth = pal.reshape(n_colors, 3)[frames_idx[j]].tobytes()
+            samples.append({
+                "frame_idx": s, "ts_ms": ts, "n_bytes": len(truth),
+                "sha256": hashlib.sha256(truth).hexdigest(),
+            })
+        rows.append({
+            "media_id": i, "payload": payload, "width": w, "height": h,
+            "duration_ms": duration, "samples": samples,
+        })
+    return rows
+
+
+def synthesize_gif_video_media(spark, n: int = 12, seed: int = 23) -> DataFrame:
+    rows = [
+        (r["media_id"], "video", bytearray(r["payload"]),
+         {"width": r["width"], "height": r["height"],
+          "sample_rate": None, "duration_ms": r["duration_ms"]})
+        for r in gif_video_payloads(n, seed)
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
 
 
 def _fake_frame(payload: bytes, frame_idx: int) -> bytes:

@@ -74,7 +74,12 @@ def typeset_pdf_udf(texts: pd.Series) -> pd.Series:
 
     out = []
     for t in texts:
-        words = (t or "").split()
+        # the writer emits latin-1 PDF string literals; transliterate
+        # non-latin-1 codepoints to '?' HERE (one '?' per char, same as
+        # codecs 'replace') so the oracle can apply the identical
+        # regexp_replace and both engines hash the same words
+        t = "".join(c if ord(c) < 256 else "?" for c in (t or ""))
+        words = t.split()
         lines = [" ".join(words[i:i + 8]) for i in range(0, len(words), 8)]
         pages = [lines[i:i + 20] for i in range(0, len(lines), 20)]
         out.append(build_pdf(pages or [[""]]))

@@ -175,6 +175,102 @@ def decode_gif(data: bytes) -> dict:
     return first
 
 
+def decode_gif_frames(data: bytes, max_frames: int = 1024) -> dict:
+    """Decode EVERY frame of an animated GIF with its timestamp — the
+    real-codec substrate for video frame sampling (the fake-decode
+    retirement path: an animated GIF is a genuine multi-frame container
+    a pure-stdlib decoder can fully handle, unlike mp4/h264).
+
+    Scope: full-frame animations only — each image descriptor must be
+    drawn at (0,0) with the logical-screen size (the shape the writer
+    emits); sub-rectangle frames or disposal compositing raise
+    :class:`GifError` (honest unsupported, not a wrong composite).
+    Frame delay comes from the Graphic Control Extension (0xF9), in
+    centiseconds; ``ts_ms`` is the cumulative start time of each frame.
+
+    Returns ``{"width", "height", "duration_ms",
+    "frames": [{"ts_ms", "delay_ms", "pixels"}]}``.
+    """
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise GifError("bad GIF signature")
+    if len(data) < 13:
+        raise GifError("truncated header")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n], np.uint8)
+        if len(gct) < 3 * n:
+            raise GifError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    ts = 0
+    delay_ms = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos] if pos < len(data) else None
+            pos += 1
+            sub, pos = _sub_blocks(data, pos)
+            if label == 0xF9 and len(sub) >= 3:
+                delay_ms = int.from_bytes(sub[1:3], "little") * 10
+            continue
+        if block != 0x2C:
+            raise GifError(f"unknown block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise GifError("truncated image descriptor")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos:pos + 9])
+        pos += 9
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise GifError(
+                "sub-rectangle frames unsupported (disposal compositing "
+                "out of scope)"
+            )
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(data[pos:pos + 3 * n], np.uint8)
+            if len(pal) < 3 * n:
+                raise GifError("truncated local color table")
+            pal = pal.reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise GifError("image without any color table")
+        if pos >= len(data):
+            raise GifError("missing LZW data")
+        min_code = data[pos]
+        pos += 1
+        lzw, pos = _sub_blocks(data, pos)
+        if len(frames) >= max_frames:
+            raise GifError(f"more than {max_frames} frames")
+        if w == 0 or h == 0 or w * h > 1 << 26:
+            raise GifError(f"unsupported dimensions {w}x{h}")
+        idx = _lzw_decode(lzw, min_code, w * h)
+        if len(idx) < w * h:
+            raise GifError("LZW output shorter than image")
+        rows = np.frombuffer(idx[: w * h], np.uint8).reshape(h, w)
+        if ipacked & 0x40:
+            rows = _deinterlace(rows)
+        if int(rows.max(initial=0)) >= len(pal):
+            raise GifError("palette index out of range")
+        frames.append({
+            "ts_ms": ts, "delay_ms": delay_ms,
+            "pixels": pal[rows.reshape(-1)].tobytes(),
+        })
+        ts += delay_ms
+        delay_ms = 0
+    if not frames:
+        raise GifError("no image frame")
+    return {
+        "width": sw, "height": sh, "duration_ms": ts, "frames": frames,
+    }
+
+
 # --------------------------------------------------------------------------
 # minimal writer (tests + deterministic synthetic media)
 # --------------------------------------------------------------------------
@@ -246,5 +342,43 @@ def encode_gif(
         out.append(len(chunk))
         out += chunk
     out.append(0)
+    out += b"\x3B"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames: list,
+    palette: bytes,
+    delays_ms: list,
+) -> bytes:
+    """Multi-frame GIF89a: one full-frame image per entry of ``frames``
+    (row-major palette indices), each preceded by a Graphic Control
+    Extension carrying its delay (milliseconds, rounded down to the
+    centisecond the format stores). The shape :func:`decode_gif_frames`
+    round-trips exactly."""
+    n_colors = len(palette) // 3
+    if n_colors < 4 or n_colors & (n_colors - 1):
+        raise GifError("palette must hold a power-of-two >= 4 colors")
+    if not frames or len(frames) != len(delays_ms):
+        raise GifError("frames/delays mismatch")
+    gct_bits = n_colors.bit_length() - 1
+    min_code = max(2, gct_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (gct_bits - 1), 0, 0)
+    out += palette
+    for indices, delay in zip(frames, delays_ms):
+        if len(indices) != width * height:
+            raise GifError("indices do not match dimensions")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay // 10) + b"\x00\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(min_code)
+        lzw = _lzw_encode_uncompressed(bytes(indices), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
     out += b"\x3B"
     return bytes(out)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -93,10 +94,24 @@ def main() -> None:
     # warm every Python worker (imports + Arrow setup on all cores)
     spark.range(0, CPUS, 1, CPUS).mapInPandas(lambda it: it, "id long").count()
 
-    convert_sec, n_turns = bench_convert(spark, transcripts_path)
+    # drift-robust convert legs (r4 verdict): two rounds explained the
+    # headline number with host drift, so measure it the way
+    # scripts/run_scaling.py does — one warmup, then interleaved samples
+    # (plain, salted, plain, salted, ...) and report the MEDIAN per leg.
+    # Interleaving cancels slow host-state drift; the median rejects
+    # one-off stalls.
+    n_samples = int(os.environ.get("SPARK_GRAFT_CONVERT_SAMPLES", "3"))
+    bench_convert(spark, transcripts_path)  # warmup (JIT + page cache)
+    plain, salted = [], []
+    n_turns = 0
+    for _ in range(n_samples):
+        sec, n_turns = bench_convert(spark, transcripts_path)
+        plain.append(sec)
+        sec, _ = bench_convert(spark, transcripts_path, salted=True)
+        salted.append(sec)
+    convert_sec = statistics.median(plain)
     timings["convert_pipeline"] = round(convert_sec, 3)
-    salted_sec, _ = bench_convert(spark, transcripts_path, salted=True)
-    timings["convert_pipeline_salted"] = round(salted_sec, 3)
+    timings["convert_pipeline_salted"] = round(statistics.median(salted), 3)
 
     for name, q in entrymod.queries().items():
         t0 = time.time()
@@ -114,6 +129,10 @@ def main() -> None:
         "turns": n_turns,
         "turns_per_sec": round(n_turns / convert_sec, 1),
         "cpus": CPUS,
+        "convert_samples": {
+            "plain": [round(s, 3) for s in plain],
+            "salted": [round(s, 3) for s in salted],
+        },
     }
     spark.stop()
     print(json.dumps(result))

@@ -10,7 +10,9 @@ import pytest
 from anytomd_spark.kernels.gif import (
     GifError,
     decode_gif,
+    decode_gif_frames,
     encode_gif,
+    encode_gif_animation,
 )
 
 PAL4 = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])  # 4 RGB entries
@@ -95,3 +97,68 @@ class TestRoundTrip:
         idx = rng.integers(0, 256, size=40 * 30, dtype=np.uint8)
         img = decode_gif(encode_gif(40, 30, idx.tobytes(), pal.tobytes()))
         assert img["pixels"] == pal.reshape(256, 3)[idx].tobytes()
+
+
+class TestAnimation:
+    def test_multi_frame_round_trip_with_delays(self):
+        rng = np.random.default_rng(5)
+        frames = [rng.integers(0, 4, size=12, dtype=np.uint8).tobytes()
+                  for _ in range(3)]
+        data = encode_gif_animation(4, 3, frames, PAL4, [100, 250, 70])
+        anim = decode_gif_frames(data)
+        assert (anim["width"], anim["height"]) == (4, 3)
+        assert anim["duration_ms"] == 420
+        assert [f["ts_ms"] for f in anim["frames"]] == [0, 100, 350]
+        assert [f["delay_ms"] for f in anim["frames"]] == [100, 250, 70]
+        pal = np.frombuffer(PAL4, np.uint8).reshape(4, 3)
+        for got, idx in zip(anim["frames"], frames):
+            assert got["pixels"] == pal[np.frombuffer(idx, np.uint8)].tobytes()
+
+    def test_gce_delay_is_centisecond_quantized(self):
+        # 125 ms stores as 12 cs -> decodes as 120 ms (format precision)
+        idx = bytes(12)
+        data = encode_gif_animation(4, 3, [idx, idx], PAL4, [125, 100])
+        anim = decode_gif_frames(data)
+        assert anim["frames"][1]["ts_ms"] == 120
+
+    def test_decode_gif_still_counts_frames(self):
+        idx = bytes(12)
+        data = encode_gif_animation(4, 3, [idx] * 4, PAL4, [50] * 4)
+        img = decode_gif(data)
+        assert img["n_frames"] == 4
+
+    def test_sub_rectangle_frame_rejected(self):
+        data = bytearray(encode_gif_animation(4, 3, [bytes(12)], PAL4, [100]))
+        # image descriptor starts after header(13) + GCT(12) + GCE(8)
+        i = bytes(data).index(b"\x2c", 13)
+        struct.pack_into("<HH", data, i + 1, 1, 0)  # left=1
+        with pytest.raises(GifError, match="sub-rectangle"):
+            decode_gif_frames(bytes(data))
+
+    def test_frames_delays_mismatch(self):
+        with pytest.raises(GifError):
+            encode_gif_animation(4, 3, [bytes(12)], PAL4, [100, 200])
+
+    def test_single_frame_plain_gif_decodes_with_zero_delay(self):
+        idx = bytes(12)
+        anim = decode_gif_frames(encode_gif(4, 3, idx, PAL4))
+        assert anim["duration_ms"] == 0
+        assert len(anim["frames"]) == 1
+
+
+class TestVideoSampling:
+    def test_generator_truth_matches_decoder(self):
+        import hashlib
+
+        from anytomd_spark.analysis.multimodal import gif_video_payloads
+
+        for r in gif_video_payloads(6):
+            anim = decode_gif_frames(r["payload"])
+            assert anim["duration_ms"] == r["duration_ms"]
+            starts = [f["ts_ms"] for f in anim["frames"]]
+            for s in r["samples"]:
+                j = max(0, int(np.searchsorted(
+                    np.array(starts), s["ts_ms"], side="right")) - 1)
+                px = anim["frames"][j]["pixels"]
+                assert len(px) == s["n_bytes"]
+                assert hashlib.sha256(px).hexdigest() == s["sha256"]
