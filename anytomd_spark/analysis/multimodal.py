@@ -529,9 +529,49 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     return "".join(_B62[j] for j in idx).encode("ascii")
 
 
+def _nearest_resample(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w[, c]) sample array — the
+    deterministic, SQL-reproducible kernel (source index = floor of the
+    pixel-center back-projection, the classic mapping)."""
+    h, w = px.shape[:2]
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int), w - 1)
+    return px[ys][:, xs]
+
+
+def real_resize(data: bytes, width: int, height: int) -> bytes:
+    """Decode (PNG/GIF/JPEG by magic) -> nearest-neighbor resample ->
+    re-encode as PNG (lossless, so the resampled samples survive
+    byte-exactly for downstream verification). Raises the codec's error
+    for undecodable payloads."""
+    if data[:8] == png.MAGIC:
+        img = png.decode_png(data)
+        ch = img["channels"]
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        img = gif.decode_gif(data)
+        ch = 3
+    elif data[:3] == jpeg.MAGIC:
+        img = jpeg.decode_jpeg(data)
+        ch = img["n_components"]
+    else:
+        raise NotImplementedError(
+            "resize beyond PNG/GIF/JPEG requires PIL — enable on a real "
+            "cluster and set FAKE_DECODE = False"
+        )
+    px = np.frombuffer(img["pixels"], np.uint8).reshape(
+        img["height"], img["width"], ch
+    )
+    out = _nearest_resample(px, width, height)
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    return png.encode_png(width, height, out.tobytes(), color_type=color_type)
+
+
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize every image row (other kinds pass through untouched),
-    Arrow batch at a time; meta.width/height reflect the new size."""
+    Arrow batch at a time; meta.width/height reflect the new size.
+    PNG/GIF/JPEG payloads decode + resample + re-encode (PNG out) for
+    REAL; only unrecognized formats fall to the fake under
+    ``FAKE_DECODE``."""
 
     def run(iterator):
         for pdf in iterator:
@@ -545,7 +585,11 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
                     metas.append(meta)
                     continue
                 data = bytes(payload) if payload is not None else b""
-                if FAKE_DECODE:
+                if (data[:8] == png.MAGIC
+                        or data[:6] in (b"GIF87a", b"GIF89a")
+                        or data[:3] == jpeg.MAGIC):
+                    resized = real_resize(data, width, height)
+                elif FAKE_DECODE:
                     resized = _fake_resize(data, width, height)
                 else:  # pragma: no cover - needs PIL
                     resized = _real_decode(data, kind)

@@ -705,3 +705,48 @@ def test_unigram_logprob(spark):
     out2 = {r.doc_id: r.avg_logprob for r in
             TQ.unigram_logprob(docs.repartition(5), max_vocab=6).collect()}
     assert out2 == {k: v.avg_logprob for k, v in out.items()}
+
+
+def test_real_resize_png_gif_jpeg():
+    """PNG/GIF/JPEG payloads resize through a REAL decode -> nearest
+    resample -> PNG re-encode; the resampled samples are verified against
+    an index-arithmetic expectation computed from the ORIGINAL pixels."""
+    import numpy as np
+
+    from anytomd_spark.analysis.multimodal import (
+        _nearest_resample,
+        real_resize,
+    )
+    from anytomd_spark.kernels import gif, jpeg, png
+
+    rng = np.random.default_rng(41)
+
+    # nearest kernel itself: 2x2 -> 4x4 replicates each source pixel
+    src = np.array([[1, 2], [3, 4]], np.uint8)
+    up = _nearest_resample(src, 4, 4)
+    assert up.tolist() == [[1, 1, 2, 2], [1, 1, 2, 2],
+                           [3, 3, 4, 4], [3, 3, 4, 4]]
+
+    # PNG RGB source
+    px = rng.integers(0, 256, (10, 8, 3), dtype=np.uint8)
+    data = png.encode_png(8, 10, px.tobytes(), color_type=2)
+    out = png.decode_png(real_resize(data, 4, 5))
+    assert (out["width"], out["height"], out["channels"]) == (4, 5, 3)
+    exp = _nearest_resample(px, 4, 5)
+    assert out["pixels"] == exp.tobytes()
+
+    # GIF source (palette -> RGB)
+    pal = rng.integers(0, 256, 12, dtype=np.uint8)
+    idx = rng.integers(0, 4, 6 * 4, dtype=np.uint8)
+    data = gif.encode_gif(6, 4, idx.tobytes(), pal.tobytes())
+    out = png.decode_png(real_resize(data, 3, 2))
+    truth = pal.reshape(4, 3)[idx].reshape(4, 6, 3)
+    assert out["pixels"] == _nearest_resample(truth, 3, 2).tobytes()
+
+    # JPEG source (block-constant -> exact round trip)
+    vals = rng.integers(0, 256, (2, 2), dtype=np.uint8)
+    gpx = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    data = jpeg.encode_jpeg(16, 16, gpx.tobytes(), mode="L")
+    out = png.decode_png(real_resize(data, 8, 8))
+    assert out["channels"] == 1
+    assert out["pixels"] == _nearest_resample(gpx, 8, 8).tobytes()
