@@ -725,6 +725,40 @@ def _q_media_jpeg_features(spark, sf):
     )
 
 
+def _q_media_resized(spark, sf):
+    """REAL resize end-to-end: PNG + GIF + JPEG payloads decode with the
+    stdlib codecs, nearest-neighbor resample to 6x5, re-encode as
+    lossless PNG, and the RESIZED payloads are decoded again by
+    png_features — the oracle embeds the generator-computed resample of
+    the ORIGINAL truth pixels, so a bug in any decoder, the index
+    arithmetic, or the PNG writer hash-mismatches."""
+    from anytomd_spark.analysis.multimodal import (
+        png_features,
+        resize_images,
+        synthesize_gif_media,
+        synthesize_jpeg_media,
+        synthesize_png_media,
+    )
+
+    media = (
+        synthesize_png_media(spark, n=8)
+        .union(
+            synthesize_gif_media(spark, n=8).withColumn(
+                "media_id", F.col("media_id") + 100
+            )
+        )
+        .union(
+            synthesize_jpeg_media(spark, n=8).withColumn(
+                "media_id", F.col("media_id") + 200
+            )
+        )
+    )
+    resized = resize_images(media, width=6, height=5)
+    return png_features(resized.select("media_id", "payload")).select(
+        "media_id", "width", "height", "channels", "pixel_md5"
+    )
+
+
 def _q_media_wav_features(spark, sf):
     """REAL audio decode (stdlib RIFF/PCM: 8/16-bit, mono/stereo, three
     sample rates across the rows): the oracle embeds the GENERATOR's
@@ -973,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_features": _q_media_wav_features,
         "media_gif_features": _q_media_gif_features,
         "media_jpeg_features": _q_media_jpeg_features,
+        "media_resized": _q_media_resized,
         # structured streaming (stateful operator + watermarked windows)
         "stream_stateful_dedup": _q_stream_stateful_dedup,
         "stream_windowed_metrics": _q_stream_windowed_metrics,
@@ -1278,6 +1313,47 @@ def _jpeg_media_oracle(n: int = 24) -> str:
                pixel_md5, mean_lum::double AS mean_lum
         FROM (VALUES {values}) AS t(media_id, width, height,
                                     n_components, pixel_md5, mean_lum)
+    """
+
+
+def _resized_media_oracle(n: int = 8, w: int = 6, h: int = 5) -> str:
+    """DuckDB twin of _q_media_resized: the expected post-resize samples
+    are computed from each generator's ORIGINAL truth pixels with the
+    same pixel-center index arithmetic — independent of every codec."""
+    import hashlib
+
+    import numpy as np
+
+    from anytomd_spark.analysis.multimodal import (
+        _nearest_resample,
+        gif_media_payloads,
+        jpeg_media_payloads,
+        png_media_payloads,
+    )
+
+    values = []
+    sources = (
+        (0, png_media_payloads(n), "channels"),
+        (100, gif_media_payloads(n), None),
+        (200, jpeg_media_payloads(n), "n_components"),
+    )
+    for offset, rows, ch_key in sources:
+        for r in rows:
+            ch = r[ch_key] if ch_key else 3
+            px = np.frombuffer(r["pixels"], np.uint8).reshape(
+                r["height"], r["width"], ch
+            )
+            out = np.ascontiguousarray(_nearest_resample(px, w, h))
+            values.append(
+                f"({r['media_id'] + offset}, {w}, {h}, {ch}, "
+                f"'{hashlib.md5(out.tobytes()).hexdigest()}')"
+            )
+    rows_sql = ",\n".join(values)
+    return f"""
+        SELECT media_id::bigint AS media_id, width::int AS width,
+               height::int AS height, channels::int AS channels, pixel_md5
+        FROM (VALUES {rows_sql}) AS t(media_id, width, height, channels,
+                                      pixel_md5)
     """
 
 
@@ -1830,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "media_wav_features": _wav_media_oracle(),
         "media_gif_features": _gif_media_oracle(),
         "media_jpeg_features": _jpeg_media_oracle(),
+        "media_resized": _resized_media_oracle(),
         # simhash / lsh-bucket-stats: the xxhash64 signature tables are
         # persisted by the queries; DuckDB recomputes all derived logic
         # (blocking, capped buckets, pair Hamming, bucket stats) from the

@@ -216,7 +216,7 @@ def png_media_payloads(n: int = 24, seed: int = 11) -> list[dict]:
         px = np.frombuffer(truth, np.uint8)
         rows.append({
             "media_id": i, "payload": data, "width": w, "height": h,
-            "channels": out_ch,
+            "channels": out_ch, "pixels": truth,
             "pixel_md5": hashlib.md5(truth).hexdigest(),
             "mean_lum": float(round(float(px.mean()), 6)),
         })
@@ -292,7 +292,7 @@ def gif_media_payloads(n: int = 24, seed: int = 31) -> list[dict]:
         px = np.frombuffer(truth, np.uint8)
         rows.append({
             "media_id": i, "payload": data, "width": w, "height": h,
-            "n_frames": 1,
+            "n_frames": 1, "pixels": truth,
             "pixel_md5": hashlib.md5(truth).hexdigest(),
             "mean_lum": float(round(float(px.mean()), 6)),
         })
@@ -489,7 +489,7 @@ def jpeg_media_payloads(n: int = 24, seed: int = 17) -> list[dict]:
         t = np.ascontiguousarray(truth)
         rows.append({
             "media_id": i, "payload": data, "width": w, "height": h,
-            "n_components": ncomp,
+            "n_components": ncomp, "pixels": t.tobytes(),
             "pixel_md5": hashlib.md5(t.tobytes()).hexdigest(),
             "mean_lum": float(round(float(t.mean()), 6)),
         })
