@@ -116,13 +116,27 @@ def main() -> None:
         # synthetic text compresses heavily, so report both)
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
             raw_mb = sum(i.file_size for i in zf.infolist()) / 1e6
+        # cold = first call in this process (includes allocator / import /
+        # branch-predictor warmup); steady = median of 3 subsequent calls
+        # — a production executor converts many files per process, so the
+        # steady number is the operationally meaningful latency. The
+        # reference target is graded against the cold one (conservative).
+        import statistics
+
         t0 = time.perf_counter()
         out = convert(data)
-        dt = time.perf_counter() - t0
-        ok = dt <= 2.0
-        results.append((name, raw_mb, dt, len(out["markdown"]), ok))
-        print(f"{name}: {raw_mb:.1f} MB XML in {dt:.2f}s "
-              f"({raw_mb / dt:.1f} MB/s) target<=2s: {'PASS' if ok else 'FAIL'}")
+        cold = time.perf_counter() - t0
+        steady_samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = convert(data)
+            steady_samples.append(time.perf_counter() - t0)
+        steady = statistics.median(steady_samples)
+        ok = cold <= 2.0
+        results.append((name, raw_mb, cold, steady, len(out["markdown"]), ok))
+        print(f"{name}: {raw_mb:.1f} MB XML cold {cold:.2f}s / steady "
+              f"{steady:.2f}s ({raw_mb / steady:.1f} MB/s warm) "
+              f"target<=2s: {'PASS' if ok else 'FAIL'}")
 
     # replace the LATEST section in place (keep historical ones from
     # earlier rounds readable, but repeated runs within a round must not
@@ -133,12 +147,12 @@ def main() -> None:
     section = (
         f"\n{header} (reference target TECH_SPEC.md:834-836: <= 2 s; "
         f"measured {datetime.datetime.now():%Y-%m-%d %H:%M})\n\n"
-        "| format | uncompressed XML MB | sec | markdown chars | <=2s |\n"
-        "|---|---|---|---|---|\n"
+        "| format | uncompressed XML MB | cold sec | steady sec (median of 3) | markdown chars | <=2s (cold) |\n"
+        "|---|---|---|---|---|---|\n"
     )
-    for name, mb, dt, chars, ok in results:
-        section += (f"| {name} | {mb:.1f} | {dt:.2f} | {chars} | "
-                    f"{'PASS' if ok else 'FAIL'} |\n")
+    for name, mb, cold, steady, chars, ok in results:
+        section += (f"| {name} | {mb:.1f} | {cold:.2f} | {steady:.2f} | "
+                    f"{chars} | {'PASS' if ok else 'FAIL'} |\n")
     bench_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
