@@ -267,3 +267,45 @@ class TestGeneratorGroundTruth:
             assert hashlib.md5(img["pixels"]).hexdigest() == r["pixel_md5"]
             px = np.frombuffer(img["pixels"], np.uint8)
             assert float(round(float(px.mean()), 6)) == r["mean_lum"]
+
+
+class TestCorruptionRobustness:
+    """A decoder fed crawl data must fail typed (JpegError) on garbage,
+    never crash or hang — mirror of the PNG/GIF chaos tests."""
+
+    def test_truncation_ladder(self):
+        rng = np.random.default_rng(31)
+        px = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        data = encode_jpeg(16, 16, px.tobytes(), mode="L")
+        for cut in range(0, len(data), max(1, len(data) // 40)):
+            try:
+                decode_jpeg(data[:cut])
+            except JpegError:
+                pass  # typed failure is the contract
+
+    def test_random_byte_corruption(self):
+        rng = np.random.default_rng(37)
+        px = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+        data = bytearray(encode_jpeg(24, 16, px.tobytes(), mode="RGB"))
+        for _ in range(60):
+            mut = bytearray(data)
+            for _ in range(int(rng.integers(1, 6))):
+                mut[int(rng.integers(2, len(mut)))] = int(rng.integers(256))
+            try:
+                out = decode_jpeg(bytes(mut))
+                # decoded despite corruption: output must still be
+                # structurally sane, never garbage dimensions
+                assert 0 < out["width"] <= 1 << 16
+                assert 0 < out["height"] <= 1 << 16
+                assert len(out["pixels"]) == (
+                    out["width"] * out["height"] * out["n_components"]
+                )
+            except JpegError:
+                pass
+
+    def test_pure_garbage(self):
+        rng = np.random.default_rng(41)
+        for n in (0, 1, 2, 3, 16, 400):
+            blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            with pytest.raises(JpegError):
+                decode_jpeg(b"\xff\xd8\xff" + blob[3:] if n >= 3 else blob)
