@@ -654,18 +654,27 @@ def _q_media_features(spark, sf):
 
 
 def _q_media_frames(spark, sf):
-    """REAL video-frame sampling (one-to-many mapInPandas): each video
-    row is an animated GIF, decoded frame-by-frame (LZW + GCE delay
-    timeline) by kernels/gif.py; the frame active at every 250 ms
-    instant is emitted as raw RGB and hashed JVM-side (sha2). The
-    oracle embeds the GENERATOR's palette-lookup ground truth per
-    sampled instant — the fake-frame path is retired for GIF video."""
+    """REAL video-frame sampling (one-to-many mapInPandas) over TWO
+    genuine multi-frame containers: animated GIFs decoded frame-by-frame
+    (LZW + GCE delay timeline, kernels/gif.py) and MJPEG AVIs decoded by
+    the RIFF walker + per-frame baseline JPEG (kernels/avi.py, strh
+    constant-rate timeline); the frame active at every 250 ms instant is
+    emitted as raw pixels and hashed JVM-side (sha2). The oracle embeds
+    each GENERATOR's ground truth per sampled instant (GIF:
+    palette-lookup of the original index grids; AVI: the exact
+    block-constant JPEG round-trip pixels) — the fake-frame path is
+    retired for both containers."""
     from anytomd_spark.analysis.multimodal import (
         sample_frames,
+        synthesize_avi_video_media,
         synthesize_gif_video_media,
     )
 
-    media = synthesize_gif_video_media(spark, n=12)
+    media = synthesize_gif_video_media(spark, n=12).union(
+        synthesize_avi_video_media(spark, n=12).withColumn(
+            "media_id", F.col("media_id") + 100
+        )
+    )
     return sample_frames(media, every_ms=250).select(
         "media_id", "frame_idx", "ts_ms", "n_bytes",
         F.sha2(F.col("frame"), 256).alias("sha256"),
@@ -726,15 +735,16 @@ def _q_media_jpeg_features(spark, sf):
 
 
 def _q_media_resized(spark, sf):
-    """REAL resize end-to-end: PNG + GIF + JPEG payloads decode with the
-    stdlib codecs, nearest-neighbor resample to 6x5, re-encode as
-    lossless PNG, and the RESIZED payloads are decoded again by
+    """REAL resize end-to-end: PNG + GIF + JPEG + BMP payloads decode
+    with the stdlib codecs, nearest-neighbor resample to 6x5, re-encode
+    as lossless PNG, and the RESIZED payloads are decoded again by
     png_features — the oracle embeds the generator-computed resample of
     the ORIGINAL truth pixels, so a bug in any decoder, the index
     arithmetic, or the PNG writer hash-mismatches."""
     from anytomd_spark.analysis.multimodal import (
         png_features,
         resize_images,
+        synthesize_bmp_media,
         synthesize_gif_media,
         synthesize_jpeg_media,
         synthesize_png_media,
@@ -750,6 +760,11 @@ def _q_media_resized(spark, sf):
         .union(
             synthesize_jpeg_media(spark, n=8).withColumn(
                 "media_id", F.col("media_id") + 200
+            )
+        )
+        .union(
+            synthesize_bmp_media(spark, n=8).withColumn(
+                "media_id", F.col("media_id") + 300
             )
         )
     )
@@ -1237,18 +1252,27 @@ def _ivf_oracle(n_clusters: int = 8, n_probe: int = 3, k: int = 3,
 
 
 def _media_frames_oracle(n: int = 12, every_ms: int = 250) -> str:
-    """DuckDB twin of _q_media_frames: the generator's ground-truth
-    sampled frames (palette lookup of the ORIGINAL index grids at each
-    instant, computed without the decoder) as literals."""
-    from anytomd_spark.analysis.multimodal import gif_video_payloads
+    """DuckDB twin of _q_media_frames: each generator's ground-truth
+    sampled frames (GIF: palette lookup of the ORIGINAL index grids at
+    each instant; AVI: the generator's exact block-constant pixels under
+    the strh timeline — both computed without the decoders) as
+    literals."""
+    from anytomd_spark.analysis.multimodal import (
+        avi_video_payloads,
+        gif_video_payloads,
+    )
 
     values = []
-    for r in gif_video_payloads(n, every_ms=every_ms):
-        for s in r["samples"]:
-            values.append(
-                f"({r['media_id']}, {s['frame_idx']}, {s['ts_ms']}, "
-                f"{s['n_bytes']}, '{s['sha256']}')"
-            )
+    for offset, rows_gen in (
+        (0, gif_video_payloads(n, every_ms=every_ms)),
+        (100, avi_video_payloads(n, every_ms=every_ms)),
+    ):
+        for r in rows_gen:
+            for s in r["samples"]:
+                values.append(
+                    f"({r['media_id'] + offset}, {s['frame_idx']}, "
+                    f"{s['ts_ms']}, {s['n_bytes']}, '{s['sha256']}')"
+                )
     rows = ",\n".join(values)
     return f"""
         SELECT media_id::bigint AS media_id, frame_idx::int AS frame_idx,
@@ -1326,6 +1350,7 @@ def _resized_media_oracle(n: int = 8, w: int = 6, h: int = 5) -> str:
 
     from anytomd_spark.analysis.multimodal import (
         _nearest_resample,
+        bmp_media_payloads,
         gif_media_payloads,
         jpeg_media_payloads,
         png_media_payloads,
@@ -1336,6 +1361,7 @@ def _resized_media_oracle(n: int = 8, w: int = 6, h: int = 5) -> str:
         (0, png_media_payloads(n), "channels"),
         (100, gif_media_payloads(n), None),
         (200, jpeg_media_payloads(n), "n_components"),
+        (300, bmp_media_payloads(n), "channels"),
     )
     for offset, rows, ch_key in sources:
         for r in rows:

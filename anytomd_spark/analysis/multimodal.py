@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from anytomd_spark.kernels import gif, jpeg, png, wav
+from anytomd_spark.kernels import avi, bmp, gif, jpeg, png, wav
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -61,10 +61,14 @@ def _real_decode(payload: bytes, kind: str):
         return gif.decode_gif(payload)
     if kind == "image" and payload[:3] == jpeg.MAGIC:
         return jpeg.decode_jpeg(payload)
+    if kind == "image" and payload[:2] == bmp.MAGIC:
+        return bmp.decode_bmp(payload)
     if kind == "audio" and payload[:4] == b"RIFF":
         return wav.decode_wav(payload)
+    if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return avi.decode_avi_frames(payload)
     raise NotImplementedError(
-        "real media decoding beyond PNG/GIF/JPEG/WAV requires "
+        "real media decoding beyond PNG/GIF/JPEG/BMP/WAV/MJPEG-AVI requires "
         "PIL/ffmpeg, not present in this container — enable on a real "
         "cluster and set FAKE_DECODE = False"
     )
@@ -110,6 +114,15 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                             float(img["n_components"]),
                             float(round(float(px.mean()), 6)),
                         ]
+                    elif kind == "image" and payload[:2] == bmp.MAGIC:
+                        # uncompressed DIBs decode for REAL (kernels/bmp.py)
+                        img = bmp.decode_bmp(payload)
+                        px = np.frombuffer(img["pixels"], np.uint8)
+                        feats = [
+                            float(img["width"]), float(img["height"]),
+                            float(img["channels"]),
+                            float(round(float(px.mean()), 6)),
+                        ]
                     elif kind == "audio" and payload[:4] == b"RIFF":
                         # RIFF/PCM audio is REAL too (kernels/wav.py)
                         wf = wav.wav_features(payload)
@@ -122,7 +135,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     else:
                         feats = _real_decode(payload, kind)
                 except (NotImplementedError, png.PngError, gif.GifError,
-                        jpeg.JpegError, wav.WavError) as e:
+                        jpeg.JpegError, bmp.BmpError, wav.WavError) as e:
                     feats, err = [], str(e)
                 out_rows.append((
                     int(media_id), kind, len(payload),
@@ -496,6 +509,51 @@ def jpeg_media_payloads(n: int = 24, seed: int = 17) -> list[dict]:
     return rows
 
 
+def bmp_media_payloads(n: int = 24, seed: int = 13) -> list[dict]:
+    """Deterministic BMP media rows + ground truth, mirroring
+    :func:`png_media_payloads`: pixels FIRST, encode with the minimal
+    writer, truth from the ORIGINAL arrays. BMP is lossless, so
+    decode(encode(x)) == x exactly. Rows cycle 24-bit bottom-up /
+    24-bit top-down (negative height) / 8-bit palettized so the driver
+    query exercises every supported layout, and widths cycle through
+    all four row-padding remainders."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = 5 + (i % 7), 4 + (i % 5)
+        variant = i % 3
+        if variant == 2:
+            pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+            idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+            data = bmp.encode_bmp(w, h, idx.tobytes(), bit_count=8,
+                                  palette=pal.tobytes())
+            truth = np.ascontiguousarray(pal[idx]).tobytes()
+        else:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            data = bmp.encode_bmp(w, h, px.tobytes(),
+                                  top_down=(variant == 1))
+            truth = px.tobytes()
+        arr = np.frombuffer(truth, np.uint8)
+        rows.append({
+            "media_id": i, "payload": data, "width": w, "height": h,
+            "channels": 3, "pixels": truth,
+            "pixel_md5": hashlib.md5(truth).hexdigest(),
+            "mean_lum": float(round(float(arr.mean()), 6)),
+        })
+    return rows
+
+
+def synthesize_bmp_media(spark, n: int = 24, seed: int = 13) -> DataFrame:
+    rows = [
+        (r["media_id"], "image", bytearray(r["payload"]),
+         {"width": r["width"], "height": r["height"],
+          "sample_rate": None, "duration_ms": None})
+        for r in bmp_media_payloads(n, seed)
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+
 def synthesize_jpeg_media(spark, n: int = 24, seed: int = 17) -> DataFrame:
     rows = [
         (r["media_id"], "image", bytearray(r["payload"]),
@@ -553,10 +611,13 @@ def real_resize(data: bytes, width: int, height: int) -> bytes:
     elif data[:3] == jpeg.MAGIC:
         img = jpeg.decode_jpeg(data)
         ch = img["n_components"]
+    elif data[:2] == bmp.MAGIC:
+        img = bmp.decode_bmp(data)
+        ch = img["channels"]
     else:
         raise NotImplementedError(
-            "resize beyond PNG/GIF/JPEG requires PIL — enable on a real "
-            "cluster and set FAKE_DECODE = False"
+            "resize beyond PNG/GIF/JPEG/BMP requires PIL — enable on a "
+            "real cluster and set FAKE_DECODE = False"
         )
     px = np.frombuffer(img["pixels"], np.uint8).reshape(
         img["height"], img["width"], ch
@@ -587,7 +648,8 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
                 data = bytes(payload) if payload is not None else b""
                 if (data[:8] == png.MAGIC
                         or data[:6] in (b"GIF87a", b"GIF89a")
-                        or data[:3] == jpeg.MAGIC):
+                        or data[:3] == jpeg.MAGIC
+                        or data[:2] == bmp.MAGIC):
                     resized = real_resize(data, width, height)
                 elif FAKE_DECODE:
                     resized = _fake_resize(data, width, height)
@@ -608,11 +670,13 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
     """Video rows -> one output row per sampled instant at ``every_ms``
     intervals (non-video rows emit nothing). Animated-GIF payloads
     decode for REAL (:func:`kernels.gif.decode_gif_frames` — LZW, GCE
-    delay timeline): the emitted ``frame`` is the raw RGB bytes of the
-    frame active at that instant, exercising a genuine multi-frame
-    container end-to-end. Other video codecs (mp4/h264) still require
-    ffmpeg: deterministic fake under ``FAKE_DECODE``, loud
-    NotImplementedError otherwise."""
+    delay timeline), and MJPEG AVI payloads decode for REAL too
+    (:func:`kernels.avi.decode_avi_frames` — RIFF walk + per-frame
+    baseline JPEG under the strh constant-rate timeline): the emitted
+    ``frame`` is the raw pixel bytes of the frame active at that
+    instant, exercising genuine multi-frame containers end-to-end.
+    Other video codecs (mp4/h264) still require ffmpeg: deterministic
+    fake under ``FAKE_DECODE``, loud NotImplementedError otherwise."""
     import bisect
 
     def run(iterator):
@@ -632,6 +696,19 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
                         ts = i * every_ms
                         j = max(0, bisect.bisect_right(starts, ts) - 1)
                         frame = anim["frames"][j]["pixels"]
+                        rows.append((
+                            int(media_id), i, ts, bytearray(frame),
+                            len(frame),
+                        ))
+                    continue
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    mov = avi.decode_avi_frames(data)
+                    starts = [f["ts_ms"] for f in mov["frames"]]
+                    n_samples = max(1, mov["duration_ms"] // every_ms)
+                    for i in range(n_samples):
+                        ts = i * every_ms
+                        j = max(0, bisect.bisect_right(starts, ts) - 1)
+                        frame = mov["frames"][j]["pixels"]
                         rows.append((
                             int(media_id), i, ts, bytearray(frame),
                             len(frame),
@@ -705,6 +782,72 @@ def synthesize_gif_video_media(spark, n: int = 12, seed: int = 23) -> DataFrame:
          {"width": r["width"], "height": r["height"],
           "sample_rate": None, "duration_ms": r["duration_ms"]})
         for r in gif_video_payloads(n, seed)
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+
+def avi_video_payloads(n: int = 12, seed: int = 37,
+                       every_ms: int = 250) -> list[dict]:
+    """Deterministic MJPEG AVIs + ground-truth frame samples, mirroring
+    :func:`gif_video_payloads`: per-frame pixel grids are generated
+    FIRST as 8x8-block-constant samples (flat quant=1 baseline JPEG
+    round-trips those EXACTLY — see jpeg_media_payloads), the expected
+    sampled frames at each ``every_ms`` instant are computed from the
+    GENERATOR's pixels under the strh constant-rate timeline (no
+    decoder involved), then the frames are encoded and boxed into a
+    RIFF/AVI container by the minimal writer. Rows alternate grayscale
+    (truth = the original pixels, fully decoder-independent) and RGB
+    4:4:4 (truth = the per-pixel YCbCr round-trip FORMULA, pinned by
+    hand vectors in test_jpeg.py); frame rates vary (2/4/5 fps)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        bw, bh = 2 + i % 3, 2 + i % 2
+        w, h = bw * 8, bh * 8
+        n_frames = 2 + i % 3
+        rate = (2, 4, 5)[i % 3]  # fps; scale=1
+        frames_jpeg, truths = [], []
+        for _ in range(n_frames):
+            if i % 2 == 0:
+                vals = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+                px = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+                frames_jpeg.append(
+                    jpeg.encode_jpeg(w, h, px.tobytes(), mode="L")
+                )
+                truths.append(np.ascontiguousarray(px).tobytes())
+            else:
+                vals = rng.integers(0, 256, (bh, bw, 3), dtype=np.uint8)
+                px = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+                frames_jpeg.append(
+                    jpeg.encode_jpeg(w, h, px.tobytes(), mode="RGB")
+                )
+                truth = jpeg.ycbcr_to_rgb(jpeg.rgb_to_ycbcr(px))
+                truths.append(np.ascontiguousarray(truth).tobytes())
+        payload = avi.build_avi_mjpeg(w, h, frames_jpeg, rate=rate, scale=1)
+        starts = [j * 1000 // rate for j in range(n_frames)]
+        duration = n_frames * 1000 // rate
+        samples = []
+        for s in range(max(1, duration // every_ms)):
+            ts = s * every_ms
+            j = max(0, int(np.searchsorted(starts, ts, side="right")) - 1)
+            samples.append({
+                "frame_idx": s, "ts_ms": ts, "n_bytes": len(truths[j]),
+                "sha256": hashlib.sha256(truths[j]).hexdigest(),
+            })
+        rows.append({
+            "media_id": i, "payload": payload, "width": w, "height": h,
+            "duration_ms": duration, "samples": samples,
+        })
+    return rows
+
+
+def synthesize_avi_video_media(spark, n: int = 12, seed: int = 37) -> DataFrame:
+    rows = [
+        (r["media_id"], "video", bytearray(r["payload"]),
+         {"width": r["width"], "height": r["height"],
+          "sample_rate": None, "duration_ms": r["duration_ms"]})
+        for r in avi_video_payloads(n, seed)
     ]
     pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
