@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-PNG images decode FOR REAL via the pure-stdlib codec in
-:mod:`anytomd_spark.kernels.png` (zlib inflate + scanline unfilter) —
-see :func:`png_features` and the PNG branch in :func:`extract_features`.
-The container has no other decoding libraries, so non-PNG decode is a
-deterministic fake behind ``FAKE_DECODE`` (clearly marked; swap in a real
-decoder on a cluster with PIL/ffmpeg). Everything Spark-side — schema,
-partition-friendly batching, Arrow UDF signatures, batch shapes — is real
-and tested.
+PNG, GIF, baseline JPEG, BMP and lossless-WebP images, RIFF/PCM audio,
+and animated-GIF + MJPEG-AVI video decode FOR REAL via the pure-stdlib
+codecs in :mod:`anytomd_spark.kernels` (png/gif/jpeg/bmp/webp/wav/avi)
+— see :func:`extract_features`, :func:`real_resize` and
+:func:`sample_frames`. The container has no imaging libraries, so the
+remaining formats (lossy-VP8 WebP, mp4/h264, TIFF, ...) are a
+deterministic fake behind ``FAKE_DECODE`` (clearly marked; swap in a
+real decoder on a cluster with PIL/ffmpeg). Everything Spark-side —
+schema, partition-friendly batching, Arrow UDF signatures, batch shapes
+— is real and tested.
 
 Design: media rows are (media_id long, kind string, payload binary,
 meta struct<width:int, height:int, sample_rate:int, duration_ms:int>).
@@ -25,7 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from anytomd_spark.kernels import avi, bmp, gif, jpeg, png, wav
+from anytomd_spark.kernels import avi, bmp, gif, jpeg, png, wav, webp
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -63,12 +65,15 @@ def _real_decode(payload: bytes, kind: str):
         return jpeg.decode_jpeg(payload)
     if kind == "image" and payload[:2] == bmp.MAGIC:
         return bmp.decode_bmp(payload)
+    if kind == "image" and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return webp.decode_webp(payload)
     if kind == "audio" and payload[:4] == b"RIFF":
         return wav.decode_wav(payload)
     if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return avi.decode_avi_frames(payload)
     raise NotImplementedError(
-        "real media decoding beyond PNG/GIF/JPEG/BMP/WAV/MJPEG-AVI requires "
+        "real media decoding beyond PNG/GIF/JPEG/BMP/WEBP-lossless/WAV/"
+        "MJPEG-AVI requires "
         "PIL/ffmpeg, not present in this container — enable on a real "
         "cluster and set FAKE_DECODE = False"
     )
@@ -123,6 +128,16 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                             float(img["channels"]),
                             float(round(float(px.mean()), 6)),
                         ]
+                    elif (kind == "image" and payload[:4] == b"RIFF"
+                          and payload[8:12] == b"WEBP"):
+                        # lossless VP8L decodes for REAL (kernels/webp.py)
+                        img = webp.decode_webp(payload)
+                        px = np.frombuffer(img["pixels"], np.uint8)
+                        feats = [
+                            float(img["width"]), float(img["height"]),
+                            float(img["channels"]),
+                            float(round(float(px.mean()), 6)),
+                        ]
                     elif kind == "audio" and payload[:4] == b"RIFF":
                         # RIFF/PCM audio is REAL too (kernels/wav.py)
                         wf = wav.wav_features(payload)
@@ -135,7 +150,8 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     else:
                         feats = _real_decode(payload, kind)
                 except (NotImplementedError, png.PngError, gif.GifError,
-                        jpeg.JpegError, bmp.BmpError, wav.WavError) as e:
+                        jpeg.JpegError, bmp.BmpError, webp.WebpError,
+                        wav.WavError) as e:
                     feats, err = [], str(e)
                 out_rows.append((
                     int(media_id), kind, len(payload),
@@ -554,6 +570,52 @@ def synthesize_bmp_media(spark, n: int = 24, seed: int = 13) -> DataFrame:
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
 
 
+def webp_media_payloads(n: int = 24, seed: int = 19) -> list[dict]:
+    """Deterministic lossless-WebP media rows + ground truth, mirroring
+    :func:`png_media_payloads`: RGBA pixels FIRST, encode with the
+    VP8L literal/LZ77 writer, truth from the ORIGINAL arrays (VP8L is
+    lossless, so decode(encode(x)) == x exactly). Rows cycle plain
+    literals / subtract-green transform / constant-region LZ77 runs /
+    few-color images (simple prefix codes), so the driver query
+    exercises each encoder-reachable decode path."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = 5 + (i % 7), 4 + (i % 5)
+        variant = i % 4
+        if variant == 2:
+            px = np.full((h, w, 4), int(rng.integers(0, 256)), np.uint8)
+            px[: h // 2] = rng.integers(0, 256, 4, dtype=np.uint8)
+        elif variant == 3:
+            colors = rng.integers(0, 256, (2, 4), dtype=np.uint8)
+            px = colors[rng.integers(0, 2, (h, w))]
+        else:
+            px = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        px = np.ascontiguousarray(px)
+        data = webp.encode_webp(w, h, px.tobytes(),
+                                subtract_green=(variant == 1))
+        truth = px.tobytes()
+        arr = np.frombuffer(truth, np.uint8)
+        rows.append({
+            "media_id": i, "payload": data, "width": w, "height": h,
+            "channels": 4, "pixels": truth,
+            "pixel_md5": hashlib.md5(truth).hexdigest(),
+            "mean_lum": float(round(float(arr.mean()), 6)),
+        })
+    return rows
+
+
+def synthesize_webp_media(spark, n: int = 24, seed: int = 19) -> DataFrame:
+    rows = [
+        (r["media_id"], "image", bytearray(r["payload"]),
+         {"width": r["width"], "height": r["height"],
+          "sample_rate": None, "duration_ms": None})
+        for r in webp_media_payloads(n, seed)
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+
 def synthesize_jpeg_media(spark, n: int = 24, seed: int = 17) -> DataFrame:
     rows = [
         (r["media_id"], "image", bytearray(r["payload"]),
@@ -614,10 +676,13 @@ def real_resize(data: bytes, width: int, height: int) -> bytes:
     elif data[:2] == bmp.MAGIC:
         img = bmp.decode_bmp(data)
         ch = img["channels"]
+    elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        img = webp.decode_webp(data)
+        ch = img["channels"]
     else:
         raise NotImplementedError(
-            "resize beyond PNG/GIF/JPEG/BMP requires PIL — enable on a "
-            "real cluster and set FAKE_DECODE = False"
+            "resize beyond PNG/GIF/JPEG/BMP/WEBP-lossless requires PIL — "
+            "enable on a real cluster and set FAKE_DECODE = False"
         )
     px = np.frombuffer(img["pixels"], np.uint8).reshape(
         img["height"], img["width"], ch
@@ -649,7 +714,9 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
                 if (data[:8] == png.MAGIC
                         or data[:6] in (b"GIF87a", b"GIF89a")
                         or data[:3] == jpeg.MAGIC
-                        or data[:2] == bmp.MAGIC):
+                        or data[:2] == bmp.MAGIC
+                        or (data[:4] == b"RIFF"
+                            and data[8:12] == b"WEBP")):
                     resized = real_resize(data, width, height)
                 elif FAKE_DECODE:
                     resized = _fake_resize(data, width, height)
