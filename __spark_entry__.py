@@ -735,8 +735,8 @@ def _q_media_jpeg_features(spark, sf):
 
 
 def _q_media_resized(spark, sf):
-    """REAL resize end-to-end: PNG + GIF + JPEG + BMP + lossless-WebP
-    payloads decode with the stdlib codecs, nearest-neighbor resample to
+    """REAL resize end-to-end: PNG + GIF + JPEG + BMP + lossless-WebP +
+    TIFF payloads decode with the stdlib codecs, nearest-neighbor resample to
     6x5, re-encode as lossless PNG, and the RESIZED payloads are decoded
     again by png_features — the oracle embeds the generator-computed
     resample of the ORIGINAL truth pixels, so a bug in any decoder, the
@@ -748,6 +748,7 @@ def _q_media_resized(spark, sf):
         synthesize_gif_media,
         synthesize_jpeg_media,
         synthesize_png_media,
+        synthesize_tiff_media,
         synthesize_webp_media,
     )
 
@@ -771,6 +772,11 @@ def _q_media_resized(spark, sf):
         .union(
             synthesize_webp_media(spark, n=8).withColumn(
                 "media_id", F.col("media_id") + 400
+            )
+        )
+        .union(
+            synthesize_tiff_media(spark, n=8).withColumn(
+                "media_id", F.col("media_id") + 500
             )
         )
     )
@@ -1360,6 +1366,7 @@ def _resized_media_oracle(n: int = 8, w: int = 6, h: int = 5) -> str:
         gif_media_payloads,
         jpeg_media_payloads,
         png_media_payloads,
+        tiff_media_payloads,
         webp_media_payloads,
     )
 
@@ -1370,6 +1377,7 @@ def _resized_media_oracle(n: int = 8, w: int = 6, h: int = 5) -> str:
         (200, jpeg_media_payloads(n), "n_components"),
         (300, bmp_media_payloads(n), "channels"),
         (400, webp_media_payloads(n), "channels"),
+        (500, tiff_media_payloads(n), "channels"),
     )
     for offset, rows, ch_key in sources:
         for r in rows:

@@ -1,13 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-PNG, GIF, baseline JPEG, BMP and lossless-WebP images, RIFF/PCM audio,
-and animated-GIF + MJPEG-AVI video decode FOR REAL via the pure-stdlib
-codecs in :mod:`anytomd_spark.kernels` (png/gif/jpeg/bmp/webp/wav/avi)
-— see :func:`extract_features`, :func:`real_resize` and
-:func:`sample_frames`. The container has no imaging libraries, so the
-remaining formats (lossy-VP8 WebP, mp4/h264, TIFF, ...) are a
-deterministic fake behind ``FAKE_DECODE`` (clearly marked; swap in a
-real decoder on a cluster with PIL/ffmpeg). Everything Spark-side —
+PNG, GIF, baseline JPEG, BMP, lossless-WebP and TIFF images, RIFF/PCM
+audio, and animated-GIF + MJPEG-AVI video decode FOR REAL via the
+pure-stdlib codecs in :mod:`anytomd_spark.kernels`
+(png/gif/jpeg/bmp/webp/tiff/wav/avi) — see :func:`extract_features`,
+:func:`real_resize` and :func:`sample_frames`. The container has no
+imaging libraries, so the remaining formats (lossy-VP8 WebP, mp4/h264,
+HEIC, ...) are a deterministic fake behind ``FAKE_DECODE`` (clearly
+marked; swap in a real decoder on a cluster with PIL/ffmpeg). Everything Spark-side —
 schema, partition-friendly batching, Arrow UDF signatures, batch shapes
 — is real and tested.
 
@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from anytomd_spark.kernels import avi, bmp, gif, jpeg, png, wav, webp
+from anytomd_spark.kernels import avi, bmp, gif, jpeg, png, tiff, wav, webp
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -67,13 +67,15 @@ def _real_decode(payload: bytes, kind: str):
         return bmp.decode_bmp(payload)
     if kind == "image" and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return webp.decode_webp(payload)
+    if kind == "image" and payload[:4] in (tiff.MAGIC_LE, tiff.MAGIC_BE):
+        return tiff.decode_tiff(payload)
     if kind == "audio" and payload[:4] == b"RIFF":
         return wav.decode_wav(payload)
     if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return avi.decode_avi_frames(payload)
     raise NotImplementedError(
-        "real media decoding beyond PNG/GIF/JPEG/BMP/WEBP-lossless/WAV/"
-        "MJPEG-AVI requires "
+        "real media decoding beyond PNG/GIF/JPEG/BMP/WEBP-lossless/TIFF/"
+        "WAV/MJPEG-AVI requires "
         "PIL/ffmpeg, not present in this container — enable on a real "
         "cluster and set FAKE_DECODE = False"
     )
@@ -138,6 +140,16 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                             float(img["channels"]),
                             float(round(float(px.mean()), 6)),
                         ]
+                    elif kind == "image" and payload[:4] in (
+                            tiff.MAGIC_LE, tiff.MAGIC_BE):
+                        # baseline TIFF decodes for REAL (kernels/tiff.py)
+                        img = tiff.decode_tiff(payload)
+                        px = np.frombuffer(img["pixels"], np.uint8)
+                        feats = [
+                            float(img["width"]), float(img["height"]),
+                            float(img["channels"]),
+                            float(round(float(px.mean()), 6)),
+                        ]
                     elif kind == "audio" and payload[:4] == b"RIFF":
                         # RIFF/PCM audio is REAL too (kernels/wav.py)
                         wf = wav.wav_features(payload)
@@ -151,7 +163,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                         feats = _real_decode(payload, kind)
                 except (NotImplementedError, png.PngError, gif.GifError,
                         jpeg.JpegError, bmp.BmpError, webp.WebpError,
-                        wav.WavError) as e:
+                        tiff.TiffError, wav.WavError) as e:
                     feats, err = [], str(e)
                 out_rows.append((
                     int(media_id), kind, len(payload),
@@ -616,6 +628,48 @@ def synthesize_webp_media(spark, n: int = 24, seed: int = 19) -> DataFrame:
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
 
 
+def tiff_media_payloads(n: int = 24, seed: int = 43) -> list[dict]:
+    """Deterministic TIFF media rows + ground truth, mirroring
+    :func:`png_media_payloads`: pixels FIRST, encode with the minimal
+    writer, truth from the ORIGINAL arrays (lossless). Rows cycle
+    grayscale / RGB / RGBA, both byte orders, uncompressed and
+    PackBits, single- and multi-strip, so the driver query exercises
+    every writer-reachable layout; the LZW and palette decode paths are
+    pinned by hand-built IFDs in test_tiff.py."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = 5 + (i % 7), 4 + (i % 5)
+        ch = (1, 3, 4)[i % 3]
+        px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        data = tiff.encode_tiff(
+            w, h, px.tobytes(), channels=ch,
+            byte_order=("II", "MM")[i % 2],
+            compression=(1, 32773)[(i // 2) % 2],
+            rows_per_strip=(None, 2)[(i // 4) % 2],
+        )
+        truth = px.tobytes()
+        arr = np.frombuffer(truth, np.uint8)
+        rows.append({
+            "media_id": i, "payload": data, "width": w, "height": h,
+            "channels": ch, "pixels": truth,
+            "pixel_md5": hashlib.md5(truth).hexdigest(),
+            "mean_lum": float(round(float(arr.mean()), 6)),
+        })
+    return rows
+
+
+def synthesize_tiff_media(spark, n: int = 24, seed: int = 43) -> DataFrame:
+    rows = [
+        (r["media_id"], "image", bytearray(r["payload"]),
+         {"width": r["width"], "height": r["height"],
+          "sample_rate": None, "duration_ms": None})
+        for r in tiff_media_payloads(n, seed)
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+
 def synthesize_jpeg_media(spark, n: int = 24, seed: int = 17) -> DataFrame:
     rows = [
         (r["media_id"], "image", bytearray(r["payload"]),
@@ -679,10 +733,13 @@ def real_resize(data: bytes, width: int, height: int) -> bytes:
     elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         img = webp.decode_webp(data)
         ch = img["channels"]
+    elif data[:4] in (tiff.MAGIC_LE, tiff.MAGIC_BE):
+        img = tiff.decode_tiff(data)
+        ch = img["channels"]
     else:
         raise NotImplementedError(
-            "resize beyond PNG/GIF/JPEG/BMP/WEBP-lossless requires PIL — "
-            "enable on a real cluster and set FAKE_DECODE = False"
+            "resize beyond PNG/GIF/JPEG/BMP/WEBP-lossless/TIFF requires "
+            "PIL — enable on a real cluster and set FAKE_DECODE = False"
         )
     px = np.frombuffer(img["pixels"], np.uint8).reshape(
         img["height"], img["width"], ch
@@ -715,6 +772,7 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
                         or data[:6] in (b"GIF87a", b"GIF89a")
                         or data[:3] == jpeg.MAGIC
                         or data[:2] == bmp.MAGIC
+                        or data[:4] in (tiff.MAGIC_LE, tiff.MAGIC_BE)
                         or (data[:4] == b"RIFF"
                             and data[8:12] == b"WEBP")):
                     resized = real_resize(data, width, height)
