@@ -466,6 +466,20 @@ def _q_events_sessionize(spark, sf):
     )
 
 
+def _q_text_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer training (analysis/bpe.py): the corpus
+    collapses once into a (word, count) table, then 12 merge rounds of
+    weighted pair-counting -> deterministic argmax (count DESC, pair
+    ASC) -> replace-scan merge application. The oracle re-derives EVERY
+    round in unrolled DuckDB SQL (materialized CTE per round) over the
+    same documents table — the distributed trainer must reproduce the
+    sequential engine's merge table exactly, tie-breaks included."""
+    from anytomd_spark.analysis.bpe import train_bpe
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return train_bpe(docs, n_merges=12)
+
+
 def _q_dedup_lsh_bucket_stats(spark, sf):
     """Observability for the max_bucket guard: bucket-size distribution.
     The banded (doc_id, band, band_hash) table is persisted so DuckDB
@@ -1065,10 +1079,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mix": _q_corpus_sample_mix,
         "web_domain_stats": _q_web_domain_stats,
         "warc_extract": _q_warc_extract,
-        # relational operator competence (stable since r2 — tail slots)
+        # distributed tokenizer training (iterative pair-merge)
+        "text_bpe_merges": _q_text_bpe_merges,
+        # relational operator competence (stable since r2 — tail slots;
+        # rel_window_events was retired in r5 to stay at the driver's
+        # 50-row cap: events_sessionize + convert_turn_ordering already
+        # gate the same Window machinery, value-level)
         "rel_agg_lineitem": _q_rel_agg_lineitem,
         "rel_join_topcustomers": _q_rel_join_topcustomers,
-        "rel_window_events": _q_rel_window_events,
         "events_sessionize": _q_events_sessionize,
     }
 
@@ -1261,6 +1279,59 @@ def _ivf_oracle(n_clusters: int = 8, n_probe: int = 3, k: int = 3,
         FROM scored
         QUALIFY rank <= {k}
     """
+
+
+def _bpe_oracle(n_merges: int = 12) -> str:
+    """DuckDB twin of _q_text_bpe_merges: the whole iterative training
+    loop unrolled into one SQL statement — a MATERIALIZED CTE chain per
+    round (pair counts from the current symbolization, the argmax with
+    the count-DESC/pair-ASC tie-break, the replace-scan merge
+    application). Materialization matters: s{i} is referenced by both
+    the next round's pair scan and its merge application, and inlining
+    would double the plan per round. No code is shared with the Spark
+    trainer; even the merge-application semantics are each engine's own
+    replace() (verified byte-identical on the overlap cases in
+    test_analysis)."""
+    parts = ["""w AS MATERIALIZED (
+            SELECT word, count(*)::bigint AS c
+            FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                                '[^a-z]+')) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        )""", """s0 AS MATERIALIZED (
+            SELECT ' ' || array_to_string(string_split(word, ''), ' ')
+                   || ' </w> ' AS sym, c
+            FROM w
+        )"""]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(f"""p{i} AS MATERIALIZED (
+            SELECT z[1] AS l, z[2] AS r, sum(c)::bigint AS pc
+            FROM (
+                SELECT unnest(list_zip(a[1:len(a) - 1], a[2:len(a)])) AS z, c
+                FROM (SELECT list_filter(string_split(sym, ' '),
+                                         x -> x <> '') AS a, c FROM {prev})
+            )
+            GROUP BY 1, 2
+        )""")
+        parts.append(f"""b{i} AS MATERIALIZED (
+            SELECT l, r, pc FROM p{i}
+            ORDER BY pc DESC, l ASC, r ASC LIMIT 1
+        )""")
+        parts.append(f"""s{i} AS MATERIALIZED (
+            SELECT replace(sym,
+                           ' ' || (SELECT l FROM b{i}) || ' '
+                               || (SELECT r FROM b{i}) || ' ',
+                           ' ' || (SELECT l FROM b{i})
+                               || (SELECT r FROM b{i}) || ' ') AS sym, c
+            FROM {prev}
+        )""")
+    union = "\nUNION ALL ".join(
+        f'SELECT {i}::int AS rank, l AS "left", r AS "right", '
+        f"pc AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY rank"
 
 
 def _media_frames_oracle(n: int = 12, every_ms: int = 250) -> str:
@@ -1789,14 +1860,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_spend DESC, c_custkey ASC
             LIMIT 10
         """,
-        "rel_window_events": """
-            SELECT user_id, event_id, seq FROM (
-                SELECT user_id, event_id,
-                       row_number() OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id) AS seq
-                FROM events
-            ) WHERE seq <= 3
-        """,
+        "text_bpe_merges": _bpe_oracle(n_merges=12),
         "events_sessionize": """
             WITH g AS (
                 SELECT user_id,
