@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from anytomd_spark.kernels import avi, bmp, gif, jpeg, png, tiff, wav, webp
+from anytomd_spark.kernels import avi, bmp, gif, jpeg, png, svg, tiff, wav, webp
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -69,6 +69,8 @@ def _real_decode(payload: bytes, kind: str):
         return webp.decode_webp(payload)
     if kind == "image" and payload[:4] in (tiff.MAGIC_LE, tiff.MAGIC_BE):
         return tiff.decode_tiff(payload)
+    if kind == "image" and svg.looks_like_svg(payload):
+        return svg.svg_features(payload)
     if kind == "audio" and payload[:4] == b"RIFF":
         return wav.decode_wav(payload)
     if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -150,6 +152,16 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                             float(img["channels"]),
                             float(round(float(px.mean()), 6)),
                         ]
+                    elif kind == "image" and svg.looks_like_svg(payload):
+                        # SVG is text: REAL stdlib-expat parse — vector
+                        # features are (size, element census, text len),
+                        # not raster stats (kernels/svg.py)
+                        sv = svg.svg_features(payload)
+                        feats = [
+                            float(sv["width"]), float(sv["height"]),
+                            float(sv["n_elements"]),
+                            float(len(sv["text"])),
+                        ]
                     elif kind == "audio" and payload[:4] == b"RIFF":
                         # RIFF/PCM audio is REAL too (kernels/wav.py)
                         wf = wav.wav_features(payload)
@@ -163,7 +175,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                         feats = _real_decode(payload, kind)
                 except (NotImplementedError, png.PngError, gif.GifError,
                         jpeg.JpegError, bmp.BmpError, webp.WebpError,
-                        tiff.TiffError, wav.WavError) as e:
+                        tiff.TiffError, svg.SvgError, wav.WavError) as e:
                     feats, err = [], str(e)
                 out_rows.append((
                     int(media_id), kind, len(payload),
