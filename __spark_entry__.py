@@ -801,17 +801,24 @@ def _q_media_resized(spark, sf):
 
 
 def _q_media_wav_features(spark, sf):
-    """REAL audio decode (stdlib RIFF/PCM: 8/16-bit, mono/stereo, three
-    sample rates across the rows): the oracle embeds the GENERATOR's
-    quantized-signal stats — frames, duration, RMS, peak — as literals;
-    byte-level decode is pinned separately by hand vectors in
-    test_wav.py."""
+    """REAL audio decode over BOTH audio codecs, dispatched by magic:
+    stdlib RIFF/PCM (8/16-bit, mono/stereo, three sample rates) and
+    native FLAC (kernels/flac.py — frame layer, FIXED+rice and VERBATIM
+    subframes via the writer; LPC/stereo-decorrelation pinned by hand
+    vectors in test_flac.py). The oracle embeds each GENERATOR's
+    signal stats — frames, duration, RMS, peak — as literals; FLAC is
+    lossless, so its stats are exact integers-in, integers-out."""
     from anytomd_spark.analysis.multimodal import (
+        synthesize_flac_media,
         synthesize_wav_media,
         wav_audio_features,
     )
 
-    media = synthesize_wav_media(spark, n=24)
+    media = synthesize_wav_media(spark, n=24).union(
+        synthesize_flac_media(spark, n=24).withColumn(
+            "media_id", F.col("media_id") + 100
+        )
+    )
     return wav_audio_features(media).select(
         "media_id", "sample_rate", "channels", "bit_depth", "n_frames",
         "duration_ms", "rms", "peak",
@@ -1471,15 +1478,21 @@ def _resized_media_oracle(n: int = 8, w: int = 6, h: int = 5) -> str:
 
 
 def _wav_media_oracle(n: int = 24) -> str:
-    """DuckDB twin of _q_media_wav_features: generator ground truth as
-    literals (the quantized-PCM signal's stats)."""
-    from anytomd_spark.analysis.multimodal import wav_media_payloads
+    """DuckDB twin of _q_media_wav_features: each generator's ground
+    truth as literals (quantized-PCM stats for WAV; exact integer-signal
+    stats for lossless FLAC)."""
+    from anytomd_spark.analysis.multimodal import (
+        flac_media_payloads,
+        wav_media_payloads,
+    )
 
     values = ",\n".join(
-        f"({r['media_id']}, {r['sample_rate']}, {r['channels']}, "
+        f"({r['media_id'] + off}, {r['sample_rate']}, {r['channels']}, "
         f"{r['bit_depth']}, {r['n_frames']}, {r['duration_ms']}, "
         f"{r['rms']!r}, {r['peak']!r})"
-        for r in wav_media_payloads(n)
+        for off, rows in ((0, wav_media_payloads(n)),
+                          (100, flac_media_payloads(n)))
+        for r in rows
     )
     return f"""
         SELECT media_id::bigint AS media_id,

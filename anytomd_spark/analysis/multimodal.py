@@ -27,7 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from anytomd_spark.kernels import avi, bmp, gif, jpeg, png, svg, tiff, wav, webp
+from anytomd_spark.kernels import (avi, bmp, flac, gif, jpeg, png, svg,
+                                   tiff, wav, webp)
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -73,6 +74,8 @@ def _real_decode(payload: bytes, kind: str):
         return svg.svg_features(payload)
     if kind == "audio" and payload[:4] == b"RIFF":
         return wav.decode_wav(payload)
+    if kind == "audio" and payload[:4] == flac.MAGIC:
+        return flac.decode_flac(payload)
     if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return avi.decode_avi_frames(payload)
     raise NotImplementedError(
@@ -169,13 +172,21 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                             float(wf["sample_rate"]), float(wf["channels"]),
                             float(wf["duration_ms"]), wf["rms"],
                         ]
+                    elif kind == "audio" and payload[:4] == flac.MAGIC:
+                        # FLAC decodes for REAL too (kernels/flac.py)
+                        wf = flac.flac_features(payload)
+                        feats = [
+                            float(wf["sample_rate"]), float(wf["channels"]),
+                            float(wf["duration_ms"]), wf["rms"],
+                        ]
                     elif FAKE_DECODE:
                         feats = _fake_features(payload, dim)
                     else:
                         feats = _real_decode(payload, kind)
                 except (NotImplementedError, png.PngError, gif.GifError,
                         jpeg.JpegError, bmp.BmpError, webp.WebpError,
-                        tiff.TiffError, svg.SvgError, wav.WavError) as e:
+                        tiff.TiffError, svg.SvgError, wav.WavError,
+                        flac.FlacError) as e:
                     feats, err = [], str(e)
                 out_rows.append((
                     int(media_id), kind, len(payload),
@@ -371,9 +382,10 @@ WAV_FEATURES_SCHEMA = (
 
 
 def wav_audio_features(media: DataFrame) -> DataFrame:
-    """REAL audio decode over an opaque binary column: RIFF/PCM inflate
-    + shallow features (duration, RMS, peak) per Arrow batch, with
-    per-row error capture — the audio twin of :func:`png_features`."""
+    """REAL audio decode over an opaque binary column: RIFF/PCM or
+    native FLAC by magic, + shallow features (duration, RMS, peak) per
+    Arrow batch, with per-row error capture — the audio twin of
+    :func:`png_features`."""
 
     def run(iterator):
         for pdf in iterator:
@@ -381,8 +393,11 @@ def wav_audio_features(media: DataFrame) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
                 try:
-                    f = wav.wav_features(data)
-                except wav.WavError as e:
+                    if data[:4] == flac.MAGIC:
+                        f = flac.flac_features(data)
+                    else:
+                        f = wav.wav_features(data)
+                except (wav.WavError, flac.FlacError) as e:
                     rows.append((int(media_id), None, None, None, None,
                                  None, None, None, str(e)))
                     continue
@@ -491,6 +506,55 @@ def jpeg_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, schema=JPEG_FEATURES_SCHEMA
     )
+
+
+def flac_media_payloads(n: int = 24, seed: int = 53) -> list[dict]:
+    """Deterministic FLAC rows + ground truth, mirroring
+    :func:`wav_media_payloads`: integer samples are generated FIRST and
+    the expected stats come from those exact integers (FLAC is
+    lossless, so decode must reproduce them bit-for-bit; the frame
+    layer itself is pinned by hand-built vectors in test_flac.py).
+    Rows cycle mono/stereo, 8/16-bit, smooth tones (FIXED predictors +
+    rice win) and noise (VERBATIM wins), and block-boundary frame
+    counts."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000, 44100)[i % 3]
+        channels = 1 + (i % 2)
+        bits = 16 if i % 4 else 8
+        n_frames = 400 + 230 * (i % 5)   # spans the 512 block boundary
+        lim = (1 << (bits - 1)) - 1
+        t = np.arange(n_frames, dtype=np.float64)[:, None]
+        if i % 2 == 0:
+            x = np.rint(0.6 * lim * np.sin(
+                2 * np.pi * (110 + 17 * i) * t / rate)).astype(np.int64)
+            x = np.repeat(x, channels, axis=1)
+        else:
+            x = rng.integers(-lim // 2, lim // 2,
+                             (n_frames, channels)).astype(np.int64)
+        data = flac.encode_flac(x, rate, bit_depth=bits, block_size=512)
+        scale = float(1 << (bits - 1))
+        q = x.astype(np.float64) / scale
+        rows.append({
+            "media_id": i, "payload": data, "sample_rate": rate,
+            "channels": channels, "bit_depth": bits, "n_frames": n_frames,
+            "duration_ms": n_frames * 1000 // rate,
+            "rms": float(round(float(np.sqrt(np.mean(q * q))), 6)),
+            "peak": float(round(float(np.max(np.abs(q))), 6)),
+        })
+    return rows
+
+
+def synthesize_flac_media(spark, n: int = 24, seed: int = 53) -> DataFrame:
+    rows = [
+        (r["media_id"], "audio", bytearray(r["payload"]),
+         {"width": None, "height": None, "sample_rate": r["sample_rate"],
+          "duration_ms": r["duration_ms"]})
+        for r in flac_media_payloads(n, seed)
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
 
 
 def jpeg_media_payloads(n: int = 24, seed: int = 17) -> list[dict]:
