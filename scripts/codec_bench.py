@@ -21,7 +21,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from anytomd_spark.kernels import avi, bmp, gif, jpeg, png, tiff, wav, webp  # noqa: E402
+from anytomd_spark.kernels import (avi, bmp, flac, gif, jpeg, png, tiff,  # noqa: E402
+                                   wav, webp)
 
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -52,6 +53,10 @@ def _gen(fmt: str, n: int, side: int, rng) -> list[bytes]:
             px = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
             out.append(tiff.encode_tiff(side, side, px.tobytes(),
                                         compression=32773))
+        elif fmt == "flac":
+            t = np.arange(8000)
+            sig = np.rint(8000 * np.sin(t / (20 + i))).astype(np.int64)
+            out.append(flac.encode_flac(sig.reshape(-1, 1), 16000))
         elif fmt == "wav":
             sig = (rng.standard_normal(8000) * 0.3).astype(np.float32)
             out.append(wav.encode_wav(sig.reshape(-1, 1), 16000,
@@ -76,6 +81,7 @@ _DECODE = {
     "webp": webp.decode_webp,
     "tiff": tiff.decode_tiff,
     "wav": wav.decode_wav,
+    "flac": flac.decode_flac,
     "avi": avi.decode_avi_frames,
 }
 
@@ -88,6 +94,7 @@ _PLAN = {
     "webp": (40, 32),   # per-pixel Python bit reader: honest slow path
     "tiff": (1000, 64),
     "wav": (1000, 64),
+    "flac": (30, 64),
     "avi": (100, 64),
 }
 
@@ -111,7 +118,7 @@ def main() -> int:
             "blobs_per_sec": round(n / dt, 1),
             "mb_per_sec": round(mb / dt, 2),
         }
-        kind = ("audio" if fmt == "wav"
+        kind = ("audio" if fmt in ("wav", "flac")
                 else "video" if fmt == "avi" else "image")
         all_payloads += [(kind, p) for p in payloads]
 
