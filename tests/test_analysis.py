@@ -750,3 +750,66 @@ def test_real_resize_png_gif_jpeg():
     out = png.decode_png(real_resize(data, 8, 8))
     assert out["channels"] == 1
     assert out["pixels"] == _nearest_resample(gpx, 8, 8).tobytes()
+
+
+def test_extract_features_mixed_format_dispatch(spark):
+    """Every real codec family through ONE extract_features pass: the
+    magic-byte dispatch must route each payload to its decoder with
+    zero decode errors and format-correct leading features."""
+    from pyspark.sql import functions as F
+
+    from anytomd_spark.analysis.multimodal import (
+        synthesize_avi_video_media,
+        synthesize_bmp_media,
+        synthesize_flac_media,
+        synthesize_gif_media,
+        synthesize_jpeg_media,
+        synthesize_png_media,
+        synthesize_tiff_media,
+        synthesize_wav_media,
+        synthesize_webp_media,
+    )
+
+    n = 4
+    parts = [
+        ("png", synthesize_png_media(spark, n=n)),
+        ("gif", synthesize_gif_media(spark, n=n)),
+        ("jpeg", synthesize_jpeg_media(spark, n=n)),
+        ("bmp", synthesize_bmp_media(spark, n=n)),
+        ("webp", synthesize_webp_media(spark, n=n)),
+        ("tiff", synthesize_tiff_media(spark, n=n)),
+        ("wav", synthesize_wav_media(spark, n=n)),
+        ("flac", synthesize_flac_media(spark, n=n)),
+    ]
+    media = None
+    for off, (_, df) in enumerate(parts):
+        df = df.withColumn("media_id", F.col("media_id") + 100 * off)
+        media = df if media is None else media.union(df)
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(out) == 8 * n
+    assert all(r["decode_error"] is None for r in out.values())
+    # leading features: (w, h, ...) for images, (rate, channels, ...)
+    # for audio — spot-check one row per family against its generator
+    from anytomd_spark.analysis.multimodal import (
+        bmp_media_payloads,
+        flac_media_payloads,
+        gif_media_payloads,
+        jpeg_media_payloads,
+        png_media_payloads,
+        tiff_media_payloads,
+        wav_media_payloads,
+        webp_media_payloads,
+    )
+
+    gens = [png_media_payloads(n), gif_media_payloads(n),
+            jpeg_media_payloads(n), bmp_media_payloads(n),
+            webp_media_payloads(n), tiff_media_payloads(n),
+            wav_media_payloads(n), flac_media_payloads(n)]
+    for off, rows in enumerate(gens):
+        r0 = rows[0]
+        feats = out[100 * off]["features"]
+        if "width" in r0:
+            assert feats[0] == r0["width"] and feats[1] == r0["height"]
+        else:
+            assert feats[0] == r0["sample_rate"]
+            assert feats[1] == r0["channels"]
