@@ -793,6 +793,10 @@ def _q_media_resized(spark, sf):
                 "media_id", F.col("media_id") + 500
             )
         )
+        # 6 local-relation unions inherit ~32 partitions each; 48 rows
+        # across ~192 tasks is pure scheduler overhead for two
+        # mapInPandas stages — pack them
+        .coalesce(4)
     )
     resized = resize_images(media, width=6, height=5)
     return png_features(resized.select("media_id", "payload")).select(
