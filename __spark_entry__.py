@@ -668,11 +668,13 @@ def _q_media_features(spark, sf):
 
 
 def _q_media_frames(spark, sf):
-    """REAL video-frame sampling (one-to-many mapInPandas) over TWO
+    """REAL video-frame sampling (one-to-many mapInPandas) over THREE
     genuine multi-frame containers: animated GIFs decoded frame-by-frame
-    (LZW + GCE delay timeline, kernels/gif.py) and MJPEG AVIs decoded by
+    (LZW + GCE delay timeline, kernels/gif.py) MJPEG AVIs decoded by
     the RIFF walker + per-frame baseline JPEG (kernels/avi.py, strh
-    constant-rate timeline); the frame active at every 250 ms instant is
+    constant-rate timeline), and MJPEG MP4s decoded by the ISO-BMFF
+    box walker (kernels/mp4.py — stsd/stts/stsc/stsz/stco resolved
+    into per-sample offsets and timestamps); the frame active at every 250 ms instant is
     emitted as raw pixels and hashed JVM-side (sha2). The oracle embeds
     each GENERATOR's ground truth per sampled instant (GIF:
     palette-lookup of the original index grids; AVI: the exact
@@ -682,12 +684,22 @@ def _q_media_frames(spark, sf):
         sample_frames,
         synthesize_avi_video_media,
         synthesize_gif_video_media,
+        synthesize_mp4_video_media,
     )
 
-    media = synthesize_gif_video_media(spark, n=12).union(
-        synthesize_avi_video_media(spark, n=12).withColumn(
-            "media_id", F.col("media_id") + 100
+    media = (
+        synthesize_gif_video_media(spark, n=12)
+        .union(
+            synthesize_avi_video_media(spark, n=12).withColumn(
+                "media_id", F.col("media_id") + 100
+            )
         )
+        .union(
+            synthesize_mp4_video_media(spark, n=12).withColumn(
+                "media_id", F.col("media_id") + 200
+            )
+        )
+        .coalesce(4)
     )
     return sample_frames(media, every_ms=250).select(
         "media_id", "frame_idx", "ts_ms", "n_bytes",
@@ -1354,12 +1366,14 @@ def _media_frames_oracle(n: int = 12, every_ms: int = 250) -> str:
     from anytomd_spark.analysis.multimodal import (
         avi_video_payloads,
         gif_video_payloads,
+        mp4_video_payloads,
     )
 
     values = []
     for offset, rows_gen in (
         (0, gif_video_payloads(n, every_ms=every_ms)),
         (100, avi_video_payloads(n, every_ms=every_ms)),
+        (200, mp4_video_payloads(n, every_ms=every_ms)),
     ):
         for r in rows_gen:
             for s in r["samples"]:

@@ -27,8 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from anytomd_spark.kernels import (avi, bmp, flac, gif, jpeg, png, svg,
-                                   tiff, wav, webp)
+from anytomd_spark.kernels import (avi, bmp, flac, gif, jpeg, mp4, png,
+                                   svg, tiff, wav, webp)
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -78,6 +78,8 @@ def _real_decode(payload: bytes, kind: str):
         return flac.decode_flac(payload)
     if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return avi.decode_avi_frames(payload)
+    if kind == "video" and payload[4:8] == b"ftyp":
+        return mp4.decode_mp4_frames(payload)
     raise NotImplementedError(
         "real media decoding beyond PNG/GIF/JPEG/BMP/WEBP-lossless/TIFF/"
         "WAV/MJPEG-AVI requires "
@@ -902,6 +904,19 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
                             len(frame),
                         ))
                     continue
+                if data[4:8] == b"ftyp":
+                    mov = mp4.decode_mp4_frames(data)
+                    starts = [f["ts_ms"] for f in mov["frames"]]
+                    n_samples = max(1, mov["duration_ms"] // every_ms)
+                    for i in range(n_samples):
+                        ts = i * every_ms
+                        j = max(0, bisect.bisect_right(starts, ts) - 1)
+                        frame = mov["frames"][j]["pixels"]
+                        rows.append((
+                            int(media_id), i, ts, bytearray(frame),
+                            len(frame),
+                        ))
+                    continue
                 if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
                     mov = avi.decode_avi_frames(data)
                     starts = [f["ts_ms"] for f in mov["frames"]]
@@ -988,19 +1003,19 @@ def synthesize_gif_video_media(spark, n: int = 12, seed: int = 23) -> DataFrame:
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
 
 
-def avi_video_payloads(n: int = 12, seed: int = 37,
-                       every_ms: int = 250) -> list[dict]:
-    """Deterministic MJPEG AVIs + ground-truth frame samples, mirroring
-    :func:`gif_video_payloads`: per-frame pixel grids are generated
-    FIRST as 8x8-block-constant samples (flat quant=1 baseline JPEG
-    round-trips those EXACTLY — see jpeg_media_payloads), the expected
-    sampled frames at each ``every_ms`` instant are computed from the
-    GENERATOR's pixels under the strh constant-rate timeline (no
-    decoder involved), then the frames are encoded and boxed into a
-    RIFF/AVI container by the minimal writer. Rows alternate grayscale
-    (truth = the original pixels, fully decoder-independent) and RGB
-    4:4:4 (truth = the per-pixel YCbCr round-trip FORMULA, pinned by
-    hand vectors in test_jpeg.py); frame rates vary (2/4/5 fps)."""
+def _mjpeg_video_payloads(build, n: int, seed: int,
+                          every_ms: int) -> list[dict]:
+    """Shared MJPEG-video generator for both containers (AVI and MP4):
+    per-frame pixel grids are generated FIRST as 8x8-block-constant
+    samples (flat quant=1 baseline JPEG round-trips those EXACTLY — see
+    jpeg_media_payloads), the expected sampled frames at each
+    ``every_ms`` instant are computed from the GENERATOR's pixels under
+    the constant-rate timeline (no decoder involved), then the frames
+    are encoded and boxed by ``build(w, h, frames, rate)``. Rows
+    alternate grayscale (truth = the original pixels, fully
+    decoder-independent) and RGB 4:4:4 (truth = the per-pixel YCbCr
+    round-trip FORMULA, pinned by hand vectors in test_jpeg.py); frame
+    rates vary (2/4/5 fps)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -1025,7 +1040,7 @@ def avi_video_payloads(n: int = 12, seed: int = 37,
                 )
                 truth = jpeg.ycbcr_to_rgb(jpeg.rgb_to_ycbcr(px))
                 truths.append(np.ascontiguousarray(truth).tobytes())
-        payload = avi.build_avi_mjpeg(w, h, frames_jpeg, rate=rate, scale=1)
+        payload = build(w, h, frames_jpeg, rate)
         starts = [j * 1000 // rate for j in range(n_frames)]
         duration = n_frames * 1000 // rate
         samples = []
@@ -1041,6 +1056,33 @@ def avi_video_payloads(n: int = 12, seed: int = 37,
             "duration_ms": duration, "samples": samples,
         })
     return rows
+
+
+def avi_video_payloads(n: int = 12, seed: int = 37,
+                       every_ms: int = 250) -> list[dict]:
+    return _mjpeg_video_payloads(
+        lambda w, h, f, r: avi.build_avi_mjpeg(w, h, f, rate=r, scale=1),
+        n, seed, every_ms,
+    )
+
+
+def mp4_video_payloads(n: int = 12, seed: int = 61,
+                       every_ms: int = 250) -> list[dict]:
+    return _mjpeg_video_payloads(
+        lambda w, h, f, r: mp4.build_mp4_mjpeg(w, h, f, rate=r, scale=1),
+        n, seed, every_ms,
+    )
+
+
+def synthesize_mp4_video_media(spark, n: int = 12, seed: int = 61) -> DataFrame:
+    rows = [
+        (r["media_id"], "video", bytearray(r["payload"]),
+         {"width": r["width"], "height": r["height"],
+          "sample_rate": None, "duration_ms": r["duration_ms"]})
+        for r in mp4_video_payloads(n, seed)
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
 
 
 def synthesize_avi_video_media(spark, n: int = 12, seed: int = 37) -> DataFrame:
