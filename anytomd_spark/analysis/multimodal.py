@@ -5,8 +5,9 @@ audio, and animated-GIF + MJPEG-AVI video decode FOR REAL via the
 pure-stdlib codecs in :mod:`anytomd_spark.kernels`
 (png/gif/jpeg/bmp/webp/tiff/wav/avi) — see :func:`extract_features`,
 :func:`real_resize` and :func:`sample_frames`. The container has no
-imaging libraries, so the remaining formats (lossy-VP8 WebP, mp4/h264,
-HEIC, ...) are a deterministic fake behind ``FAKE_DECODE`` (clearly
+imaging libraries, so the remaining formats (lossy-VP8 WebP,
+h264/hevc bitstreams, HEIC, ...) are a deterministic fake behind
+``FAKE_DECODE`` (clearly
 marked; swap in a real decoder on a cluster with PIL/ffmpeg). Everything Spark-side —
 schema, partition-friendly batching, Arrow UDF signatures, batch shapes
 — is real and tested.
@@ -878,8 +879,10 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
     baseline JPEG under the strh constant-rate timeline): the emitted
     ``frame`` is the raw pixel bytes of the frame active at that
     instant, exercising genuine multi-frame containers end-to-end.
-    Other video codecs (mp4/h264) still require ffmpeg: deterministic
-    fake under ``FAKE_DECODE``, loud NotImplementedError otherwise."""
+    MJPEG MP4s decode via the ISO-BMFF walker (kernels/mp4.py). Other
+    video codecs (h264/hevc bitstreams) still require ffmpeg:
+    deterministic fake under ``FAKE_DECODE``, loud NotImplementedError
+    otherwise."""
     import bisect
 
     def run(iterator):

@@ -21,8 +21,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from anytomd_spark.kernels import (avi, bmp, flac, gif, jpeg, png, tiff,  # noqa: E402
-                                   wav, webp)
+from anytomd_spark.kernels import (avi, bmp, flac, gif, jpeg, mp4, png,  # noqa: E402
+                                   tiff, wav, webp)
 
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -61,7 +61,7 @@ def _gen(fmt: str, n: int, side: int, rng) -> list[bytes]:
             sig = (rng.standard_normal(8000) * 0.3).astype(np.float32)
             out.append(wav.encode_wav(sig.reshape(-1, 1), 16000,
                                       bit_depth=16))
-        elif fmt == "avi":
+        elif fmt in ("avi", "mp4"):
             b = side // 8
             frames = []
             for _ in range(4):
@@ -69,7 +69,9 @@ def _gen(fmt: str, n: int, side: int, rng) -> list[bytes]:
                 fpx = np.repeat(np.repeat(vals, 8, 0), 8, 1)
                 frames.append(jpeg.encode_jpeg(side, side, fpx.tobytes(),
                                                mode="L"))
-            out.append(avi.build_avi_mjpeg(side, side, frames))
+            build = (avi.build_avi_mjpeg if fmt == "avi"
+                     else mp4.build_mp4_mjpeg)
+            out.append(build(side, side, frames))
     return out
 
 
@@ -83,6 +85,7 @@ _DECODE = {
     "wav": wav.decode_wav,
     "flac": flac.decode_flac,
     "avi": avi.decode_avi_frames,
+    "mp4": mp4.decode_mp4_frames,
 }
 
 # per-format blob counts sized so each kernel leg runs ~1-5 s
@@ -96,6 +99,7 @@ _PLAN = {
     "wav": (1000, 64),
     "flac": (30, 64),
     "avi": (100, 64),
+    "mp4": (100, 64),
 }
 
 
@@ -119,7 +123,7 @@ def main() -> int:
             "mb_per_sec": round(mb / dt, 2),
         }
         kind = ("audio" if fmt in ("wav", "flac")
-                else "video" if fmt == "avi" else "image")
+                else "video" if fmt in ("avi", "mp4") else "image")
         all_payloads += [(kind, p) for p in payloads]
 
     from pyspark.sql import SparkSession
