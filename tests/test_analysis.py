@@ -813,3 +813,47 @@ def test_extract_features_mixed_format_dispatch(spark):
         else:
             assert feats[0] == r0["sample_rate"]
             assert feats[1] == r0["channels"]
+
+
+def test_cross_codec_differential_consistency():
+    """The same source pixels pushed through every lossless image codec
+    must decode byte-identically, and the same integer signal through
+    WAV and FLAC must decode sample-identically — any codec-specific
+    drift (channel order, row order, scaling) shows up as a diff
+    between codecs even if each round-trip looks self-consistent."""
+    import numpy as np
+
+    from anytomd_spark.kernels import bmp, flac, png, tiff, wav, webp
+
+    rng = np.random.default_rng(67)
+    px = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    want = px.tobytes()
+    decoded = {
+        "png": png.decode_png(
+            png.encode_png(7, 9, want, color_type=2))["pixels"],
+        "bmp": bmp.decode_bmp(bmp.encode_bmp(7, 9, want))["pixels"],
+        "tiff": tiff.decode_tiff(
+            tiff.encode_tiff(7, 9, want, compression=32773))["pixels"],
+    }
+    # webp carries RGBA: compare the RGB planes
+    rgba = np.dstack([px, np.full((9, 7), 255, np.uint8)])
+    wp = webp.decode_webp(webp.encode_webp(7, 9, rgba.tobytes()))
+    decoded["webp"] = np.frombuffer(wp["pixels"], np.uint8) \
+        .reshape(9, 7, 4)[:, :, :3].tobytes()
+    for name, got in decoded.items():
+        assert got == want, f"{name} diverges from source pixels"
+
+    sig = rng.integers(-20000, 20000, (3000, 2)).astype(np.int64)
+    via_flac = flac.decode_flac(
+        flac.encode_flac(sig, 16000, bit_depth=16))["samples"]
+    assert (via_flac == sig).all()  # FLAC is integer-exact
+    # WAV's float convention quantizes by 32767 on encode and rescales
+    # by 32768 on decode, so the integer comparison goes through that
+    # exact documented mapping rather than expecting identity
+    f = sig.astype(np.float32) / 32768.0
+    via_wav = wav.decode_wav(wav.encode_wav(f, 16000, bit_depth=16))
+    got_q = np.round(via_wav["samples"] * 32768.0).astype(np.int64)
+    want_q = np.clip(np.round(f.astype(np.float64) * 32767.0),
+                     -32768, 32767).astype(np.int64)
+    assert (got_q == want_q).all()
+    assert np.abs(got_q - sig).max() <= 1  # within 1 LSB of the source
