@@ -853,7 +853,8 @@ def test_cross_codec_differential_consistency():
     f = sig.astype(np.float32) / 32768.0
     via_wav = wav.decode_wav(wav.encode_wav(f, 16000, bit_depth=16))
     got_q = np.round(via_wav["samples"] * 32768.0).astype(np.int64)
-    want_q = np.clip(np.round(f.astype(np.float64) * 32767.0),
-                     -32768, 32767).astype(np.int64)
+    # mirror the encoder's arithmetic exactly: float32 multiply, so the
+    # .5-boundary rounding matches (float64 here flips 6 of 6000)
+    want_q = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int64)
     assert (got_q == want_q).all()
     assert np.abs(got_q - sig).max() <= 1  # within 1 LSB of the source
