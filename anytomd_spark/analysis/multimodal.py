@@ -182,6 +182,24 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                             float(wf["sample_rate"]), float(wf["channels"]),
                             float(wf["duration_ms"]), wf["rms"],
                         ]
+                    elif kind == "video" and (
+                            payload[:6] in (b"GIF87a", b"GIF89a")
+                            or (payload[:4] == b"RIFF"
+                                and payload[8:12] == b"AVI ")
+                            or payload[4:8] == b"ftyp"):
+                        # all three real containers: features are
+                        # (width, height, n_frames, duration_ms)
+                        if payload[:6] in (b"GIF87a", b"GIF89a"):
+                            mv = gif.decode_gif_frames(payload)
+                        elif payload[:4] == b"RIFF":
+                            mv = avi.decode_avi_frames(payload)
+                        else:
+                            mv = mp4.decode_mp4_frames(payload)
+                        feats = [
+                            float(mv["width"]), float(mv["height"]),
+                            float(len(mv["frames"])),
+                            float(mv["duration_ms"]),
+                        ]
                     elif FAKE_DECODE:
                         feats = _fake_features(payload, dim)
                     else:
@@ -189,7 +207,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 except (NotImplementedError, png.PngError, gif.GifError,
                         jpeg.JpegError, bmp.BmpError, webp.WebpError,
                         tiff.TiffError, svg.SvgError, wav.WavError,
-                        flac.FlacError) as e:
+                        flac.FlacError, avi.AviError, mp4.Mp4Error) as e:
                     feats, err = [], str(e)
                 out_rows.append((
                     int(media_id), kind, len(payload),

@@ -759,12 +759,14 @@ def test_extract_features_mixed_format_dispatch(spark):
     from pyspark.sql import functions as F
 
     from anytomd_spark.analysis.multimodal import (
+        synthesize_mp4_video_media,
         synthesize_avi_video_media,
         synthesize_bmp_media,
         synthesize_flac_media,
         synthesize_gif_media,
         synthesize_jpeg_media,
         synthesize_png_media,
+        synthesize_gif_video_media,
         synthesize_tiff_media,
         synthesize_wav_media,
         synthesize_webp_media,
@@ -780,20 +782,26 @@ def test_extract_features_mixed_format_dispatch(spark):
         ("tiff", synthesize_tiff_media(spark, n=n)),
         ("wav", synthesize_wav_media(spark, n=n)),
         ("flac", synthesize_flac_media(spark, n=n)),
+        ("gifv", synthesize_gif_video_media(spark, n=n)),
+        ("avi", synthesize_avi_video_media(spark, n=n)),
+        ("mp4", synthesize_mp4_video_media(spark, n=n)),
     ]
     media = None
     for off, (_, df) in enumerate(parts):
         df = df.withColumn("media_id", F.col("media_id") + 100 * off)
         media = df if media is None else media.union(df)
     out = {r["media_id"]: r for r in extract_features(media).collect()}
-    assert len(out) == 8 * n
+    assert len(out) == 11 * n
     assert all(r["decode_error"] is None for r in out.values())
     # leading features: (w, h, ...) for images, (rate, channels, ...)
     # for audio — spot-check one row per family against its generator
     from anytomd_spark.analysis.multimodal import (
+        avi_video_payloads,
         bmp_media_payloads,
         flac_media_payloads,
         gif_media_payloads,
+        gif_video_payloads,
+        mp4_video_payloads,
         jpeg_media_payloads,
         png_media_payloads,
         tiff_media_payloads,
@@ -804,11 +812,16 @@ def test_extract_features_mixed_format_dispatch(spark):
     gens = [png_media_payloads(n), gif_media_payloads(n),
             jpeg_media_payloads(n), bmp_media_payloads(n),
             webp_media_payloads(n), tiff_media_payloads(n),
-            wav_media_payloads(n), flac_media_payloads(n)]
+            wav_media_payloads(n), flac_media_payloads(n),
+            gif_video_payloads(n), avi_video_payloads(n),
+            mp4_video_payloads(n)]
     for off, rows in enumerate(gens):
         r0 = rows[0]
         feats = out[100 * off]["features"]
-        if "width" in r0:
+        if "duration_ms" in r0 and "width" in r0:   # video rows
+            assert feats[0] == r0["width"] and feats[1] == r0["height"]
+            assert feats[3] == r0["duration_ms"]
+        elif "width" in r0:
             assert feats[0] == r0["width"] and feats[1] == r0["height"]
         else:
             assert feats[0] == r0["sample_rate"]
