@@ -480,6 +480,24 @@ def _q_text_bpe_merges(spark, sf):
     return train_bpe(docs, n_merges=12)
 
 
+def _q_ingest_tar(spark, sf):
+    """Archive-shard corpus ingestion (analysis/ingest.py): tar and
+    tar.gz shard blobs open with stdlib tarfile, every member converts
+    through the SAME dispatcher as the transcript pipeline, per-member
+    errors become rows. Member contents are pure functions of
+    (shard, index), so the oracle rebuilds each member's size and
+    expected Markdown (txt passthrough / python code fence / CSV
+    table) from those two integers in SQL — the derive.py pattern
+    applied to a second source format (WARC being the first)."""
+    from anytomd_spark.analysis.ingest import synthesize_tar_shards, tar_extract
+
+    shards = synthesize_tar_shards(spark, n_shards=8, members_per=6)
+    return tar_extract(shards).select(
+        "shard_id", "member", "fmt", "n_bytes",
+        F.md5("markdown").alias("markdown_md5"),
+    )
+
+
 def _q_dedup_lsh_bucket_stats(spark, sf):
     """Observability for the max_bucket guard: bucket-size distribution.
     The banded (doc_id, band, band_hash) table is persisted so DuckDB
@@ -707,57 +725,46 @@ def _q_media_frames(spark, sf):
     )
 
 
-def _q_media_png_features(spark, sf):
-    """REAL image decode (stdlib PNG codec: zlib inflate + scanline
-    unfilter, every filter type 0-4 exercised across the rows): the
-    oracle embeds the GENERATOR's ground-truth pixels — dimensions,
-    md5 over raw samples, mean — so a decoder bug on any unfilter path
-    hash-mismatches. Exceeds reference scope (image.rs treats images as
-    opaque bytes + describer); first-class per the multimodal brief."""
-    from anytomd_spark.analysis.multimodal import png_features, synthesize_png_media
-
-    media = synthesize_png_media(spark, n=24)
-    # mean_lum is Python-rounded to 6dp inside the kernel; the oracle
-    # embeds the identically-computed literal — no engine round() whose
-    # tie-breaking could differ
-    return png_features(media).select(
-        "media_id", "width", "height", "channels", "pixel_md5", "mean_lum"
-    )
-
-
-def _q_media_gif_features(spark, sf):
-    """REAL GIF decode (stdlib LZW + palette, interlace on odd rows,
-    4/16/256-color palettes): oracle embeds the generator's palette-
-    lookup ground truth as literals."""
+def _q_media_image_features(spark, sf):
+    """REAL still-image decode across the three entropy-coded codecs in
+    ONE fmt-tagged union (VERDICT r4's consolidation pattern): PNG
+    (zlib inflate + every unfilter path), GIF (LZW + palettes +
+    interlace) and baseline JPEG (canonical Huffman + IDCT, 4:4:4/4:2:0,
+    restart markers; 8x8-block-constant rows are exact under the flat
+    quant table). ``depth`` normalizes the per-format third dimension
+    (PNG channels / GIF frame count / JPEG component count); the oracle
+    embeds each GENERATOR's ground truth — dimensions, md5 over raw
+    samples, mean — as literals, so a decoder bug on any path
+    hash-mismatches. BMP/WebP/TIFF decode is driver-gated via
+    media_resized."""
     from anytomd_spark.analysis.multimodal import (
         gif_features,
-        synthesize_gif_media,
-    )
-
-    media = synthesize_gif_media(spark, n=24)
-    return gif_features(media).select(
-        "media_id", "width", "height", "n_frames", "pixel_md5", "mean_lum"
-    )
-
-
-def _q_media_jpeg_features(spark, sf):
-    """REAL JPEG decode (stdlib baseline codec: marker parse, canonical
-    Huffman entropy decode, dequantize, batched IDCT, YCbCr color
-    convert, 4:4:4 + 4:2:0 sampling, restart intervals on every 4th
-    row): 8x8-block-constant images under a flat quant table round-trip
-    EXACTLY, so the oracle embeds generator ground truth — any bug in
-    the marker walk, Huffman tables, zigzag, DC prediction, or IDCT
-    hash-mismatches."""
-    from anytomd_spark.analysis.multimodal import (
         jpeg_features,
+        png_features,
+        synthesize_gif_media,
         synthesize_jpeg_media,
+        synthesize_png_media,
     )
 
-    media = synthesize_jpeg_media(spark, n=24)
-    return jpeg_features(media).select(
-        "media_id", "width", "height", "n_components", "pixel_md5",
-        "mean_lum",
+    parts = (
+        ("png", png_features(synthesize_png_media(spark, n=24)),
+         "channels", 0),
+        ("gif", gif_features(synthesize_gif_media(spark, n=24)),
+         "n_frames", 100),
+        ("jpeg", jpeg_features(synthesize_jpeg_media(spark, n=24)),
+         "n_components", 200),
     )
+    out = None
+    for fmt, df, depth_col, off in parts:
+        d = df.select(
+            (F.col("media_id") + off).alias("media_id"),
+            F.lit(fmt).alias("fmt"),
+            "width", "height",
+            F.col(depth_col).alias("depth"),
+            "pixel_md5", "mean_lum",
+        )
+        out = d if out is None else out.union(d)
+    return out.coalesce(4)
 
 
 def _q_media_resized(spark, sf):
@@ -1067,10 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing + real stdlib codecs
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
-        "media_png_features": _q_media_png_features,
+        "media_image_features": _q_media_image_features,
         "media_wav_features": _q_media_wav_features,
-        "media_gif_features": _q_media_gif_features,
-        "media_jpeg_features": _q_media_jpeg_features,
         "media_resized": _q_media_resized,
         # structured streaming (stateful operator + watermarked windows)
         "stream_stateful_dedup": _q_stream_stateful_dedup,
@@ -1102,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mix": _q_corpus_sample_mix,
         "web_domain_stats": _q_web_domain_stats,
         "warc_extract": _q_warc_extract,
+        "ingest_tar": _q_ingest_tar,
         # distributed tokenizer training (iterative pair-merge)
         "text_bpe_merges": _q_text_bpe_merges,
         # relational operator competence (stable since r2 — tail slots;
@@ -1110,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate the same Window machinery, value-level)
         "rel_agg_lineitem": _q_rel_agg_lineitem,
         "rel_join_topcustomers": _q_rel_join_topcustomers,
+        "rel_window_events": _q_rel_window_events,
         "events_sessionize": _q_events_sessionize,
     }
 
@@ -1390,61 +1397,66 @@ def _media_frames_oracle(n: int = 12, every_ms: int = 250) -> str:
     """
 
 
-def _png_media_oracle(n: int = 24) -> str:
-    """DuckDB twin of _q_media_png_features: ground truth comes from the
-    GENERATOR's pixel arrays (dimensions, md5 over raw samples, mean),
-    embedded as literals — the Spark side must recover them through a
-    real zlib-inflate + unfilter of the encoded PNGs."""
-    from anytomd_spark.analysis.multimodal import png_media_payloads
+def _tar_oracle(n_shards: int = 8, members_per: int = 6) -> str:
+    """DuckDB twin of _q_ingest_tar: member rows as (shard, index)
+    literals, size and Markdown recomputed in SQL per format — the
+    conversion logic is re-expressed, not replayed."""
+    from anytomd_spark.analysis.ingest import tar_shard_payloads
 
     values = ",\n".join(
-        f"({r['media_id']}, {r['width']}, {r['height']}, {r['channels']}, "
-        f"'{r['pixel_md5']}', {r['mean_lum']!r})"
-        for r in png_media_payloads(n)
+        f"({r['shard_id']}, '{m['member']}', {m['kind']}, {m['s']}, "
+        f"{m['i']}, {m['n_bytes']})"
+        for r in tar_shard_payloads(n_shards, members_per)
+        for m in r["members"]
     )
     return f"""
-        SELECT media_id::bigint AS media_id, width::int AS width,
-               height::int AS height, channels::int AS channels,
-               pixel_md5, mean_lum::double AS mean_lum
-        FROM (VALUES {values}) AS t(media_id, width, height, channels,
-                                    pixel_md5, mean_lum)
+        SELECT shard_id::bigint AS shard_id, member,
+               CASE kind WHEN 0 THEN 'txt' WHEN 1 THEN 'code'
+                         ELSE 'csv' END AS fmt,
+               n_bytes::bigint AS n_bytes,
+               md5(CASE kind
+                   WHEN 0 THEN 'shard ' || s || ' member ' || i
+                            || ' plain text'
+                   WHEN 1 THEN '```python' || chr(10) || 'print('
+                            || chr(39) || 'shard ' || s || ' member '
+                            || i || chr(39) || ')' || chr(10) || '```'
+                            || chr(10)
+                   ELSE '| shard | member |' || chr(10) || '|---|---|'
+                            || chr(10) || '| ' || s || ' | ' || i
+                            || ' |' || chr(10)
+                   END) AS markdown_md5
+        FROM (VALUES {values}) AS t(shard_id, member, kind, s, i, n_bytes)
     """
 
 
-def _gif_media_oracle(n: int = 24) -> str:
-    """DuckDB twin of _q_media_gif_features: generator ground truth."""
-    from anytomd_spark.analysis.multimodal import gif_media_payloads
+def _image_media_oracle(n: int = 24) -> str:
+    """DuckDB twin of _q_media_image_features: each generator's ground
+    truth (dimensions, md5 over raw samples, mean — computed from the
+    ORIGINAL pixel arrays, decoder-independent) as fmt-tagged literals;
+    ``depth`` carries PNG channels / GIF frame count / JPEG component
+    count."""
+    from anytomd_spark.analysis.multimodal import (
+        gif_media_payloads,
+        jpeg_media_payloads,
+        png_media_payloads,
+    )
 
     values = ",\n".join(
-        f"({r['media_id']}, {r['width']}, {r['height']}, {r['n_frames']}, "
-        f"'{r['pixel_md5']}', {r['mean_lum']!r})"
-        for r in gif_media_payloads(n)
+        f"({r['media_id'] + off}, '{fmt}', {r['width']}, {r['height']}, "
+        f"{r[depth_key]}, '{r['pixel_md5']}', {r['mean_lum']!r})"
+        for fmt, rows, depth_key, off in (
+            ("png", png_media_payloads(n), "channels", 0),
+            ("gif", gif_media_payloads(n), "n_frames", 100),
+            ("jpeg", jpeg_media_payloads(n), "n_components", 200),
+        )
+        for r in rows
     )
     return f"""
-        SELECT media_id::bigint AS media_id, width::int AS width,
-               height::int AS height, n_frames::int AS n_frames,
+        SELECT media_id::bigint AS media_id, fmt, width::int AS width,
+               height::int AS height, depth::int AS depth,
                pixel_md5, mean_lum::double AS mean_lum
-        FROM (VALUES {values}) AS t(media_id, width, height, n_frames,
+        FROM (VALUES {values}) AS t(media_id, fmt, width, height, depth,
                                     pixel_md5, mean_lum)
-    """
-
-
-def _jpeg_media_oracle(n: int = 24) -> str:
-    """DuckDB twin of _q_media_jpeg_features: generator ground truth
-    (exact for block-constant images under a flat quant table)."""
-    from anytomd_spark.analysis.multimodal import jpeg_media_payloads
-
-    values = ",\n".join(
-        f"({r['media_id']}, {r['width']}, {r['height']}, "
-        f"{r['n_components']}, '{r['pixel_md5']}', {r['mean_lum']!r})"
-        for r in jpeg_media_payloads(n)
-    )
-    return f"""
-        SELECT media_id::bigint AS media_id, width::int AS width,
-               height::int AS height, n_components::int AS n_components,
-               pixel_md5, mean_lum::double AS mean_lum
-        FROM (VALUES {values}) AS t(media_id, width, height,
-                                    n_components, pixel_md5, mean_lum)
     """
 
 
@@ -1892,6 +1904,14 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "text_bpe_merges": _bpe_oracle(n_merges=12),
+        "rel_window_events": """
+            SELECT user_id, event_id, seq FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS seq
+                FROM events
+            ) WHERE seq <= 3
+        """,
         "events_sessionize": """
             WITH g AS (
                 SELECT user_id,
@@ -2039,10 +2059,9 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_oracle(),
         "media_features": _media_oracle(),
         "media_frames": _media_frames_oracle(),
-        "media_png_features": _png_media_oracle(),
+        "media_image_features": _image_media_oracle(),
+        "ingest_tar": _tar_oracle(),
         "media_wav_features": _wav_media_oracle(),
-        "media_gif_features": _gif_media_oracle(),
-        "media_jpeg_features": _jpeg_media_oracle(),
         "media_resized": _resized_media_oracle(),
         # simhash / lsh-bucket-stats: the xxhash64 signature tables are
         # persisted by the queries; DuckDB recomputes all derived logic

@@ -1,0 +1,130 @@
+"""Tar-shard ingestion tests: member extraction across plain/gzip tars,
+per-member error capture, archive corruption, non-regular members,
+plan shape, generator truth."""
+
+import io
+import tarfile
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from anytomd_spark.analysis.ingest import (  # noqa: E402
+    build_tar,
+    synthesize_tar_shards,
+    tar_extract,
+    tar_shard_payloads,
+)
+from anytomd_spark.pipeline import build_session  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session(master="local[2]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+def _shards_df(spark, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(i, bytearray(p)) for i, p in rows],
+        columns=["shard_id", "payload"],
+    )
+    return spark.createDataFrame(pdf, schema="shard_id long, payload binary")
+
+
+class TestExtraction:
+    def test_members_convert_per_format(self, spark):
+        tar = build_tar([
+            ("a.txt", b"hello world"),
+            ("b.py", b"print('x')\n"),
+            ("c.csv", b"a,b\n1,2\n"),
+        ])
+        out = {r["member"]: r for r in
+               tar_extract(_shards_df(spark, [(0, tar)])).collect()}
+        assert out["a.txt"]["markdown"] == "hello world"
+        assert out["a.txt"]["fmt"] == "txt"
+        assert out["b.py"]["markdown"] == "```python\nprint('x')\n```\n"
+        assert out["b.py"]["fmt"] == "code"
+        assert out["c.csv"]["markdown"].startswith("| a | b |")
+        assert all(r["error"] is None for r in out.values())
+
+    def test_gzip_and_plain_shards(self, spark):
+        members = [("x.txt", b"content")]
+        rows = [(0, build_tar(members)), (1, build_tar(members, gzipped=True))]
+        out = tar_extract(_shards_df(spark, rows)).collect()
+        assert len(out) == 2
+        assert {r["shard_id"] for r in out} == {0, 1}
+        assert all(r["markdown"] == "content" for r in out)
+
+    def test_per_member_error_does_not_kill_shard(self, spark):
+        tar = build_tar([
+            ("ok.txt", b"fine"),
+            ("doc.pdf", b"%PDF-1.4 not really"),
+            ("also_ok.txt", b"fine too"),
+        ])
+        out = {r["member"]: r for r in
+               tar_extract(_shards_df(spark, [(0, tar)])).collect()}
+        assert out["ok.txt"]["error"] is None
+        assert out["also_ok.txt"]["error"] is None
+        assert out["doc.pdf"]["error"] is not None
+        assert out["doc.pdf"]["markdown"] is None
+
+    def test_archive_corruption_yields_one_error_row(self, spark):
+        rows = [(0, b"not a tar at all" * 10), (1, build_tar([("a.txt", b"x")]))]
+        out = tar_extract(_shards_df(spark, rows)).collect()
+        bad = [r for r in out if r["shard_id"] == 0]
+        assert len(bad) == 1 and "bad archive" in bad[0]["error"]
+        good = [r for r in out if r["shard_id"] == 1]
+        assert len(good) == 1 and good[0]["error"] is None
+
+    def test_non_regular_members_skipped(self, spark):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            d = tarfile.TarInfo("subdir")
+            d.type = tarfile.DIRTYPE
+            tf.addfile(d)
+            ln = tarfile.TarInfo("link.txt")
+            ln.type = tarfile.SYMTYPE
+            ln.linkname = "a.txt"
+            tf.addfile(ln)
+            f = tarfile.TarInfo("real.txt")
+            body = b"data"
+            f.size = len(body)
+            tf.addfile(f, io.BytesIO(body))
+        out = tar_extract(_shards_df(spark, [(0, buf.getvalue())])).collect()
+        assert [r["member"] for r in out] == ["real.txt"]
+
+    def test_extensionless_member_treated_as_txt(self, spark):
+        tar = build_tar([("README", b"plain body")])
+        out = tar_extract(_shards_df(spark, [(0, tar)])).collect()
+        assert out[0]["fmt"] == "txt" and out[0]["markdown"] == "plain body"
+
+    def test_map_only_plan(self, spark):
+        df = tar_extract(synthesize_tar_shards(spark, n_shards=2))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestGeneratorTruth:
+    def test_payloads_decode_to_recorded_truth(self, spark):
+        from anytomd_spark.kernels.convert import convert_bytes
+
+        for r in tar_shard_payloads(4, 6):
+            tf = tarfile.open(fileobj=io.BytesIO(r["payload"]), mode="r:*")
+            names = [m.name for m in tf.getmembers() if m.isreg()]
+            assert names == [m["member"] for m in r["members"]]
+            for m, truth in zip(tf.getmembers(), r["members"]):
+                body = tf.extractfile(m).read()
+                assert len(body) == truth["n_bytes"]
+                md = convert_bytes(
+                    body, m.name.rsplit(".", 1)[-1])["markdown"]
+                assert f"{truth['s']}" in md and f"{truth['i']}" in md
+
+    def test_determinism(self):
+        a = tar_shard_payloads(3, 4)
+        b = tar_shard_payloads(3, 4)
+        for x, y in zip(a, b):
+            assert x["payload"] == y["payload"]
