@@ -1,7 +1,8 @@
 """Archive-shard corpus ingestion — the third real document SOURCE
 format after parquet tables and WARC crawls (kernels/warc.py): training
-corpora very often arrive as tar shards (WebDataset layout, Common
-Crawl derivative dumps, HF dataset exports), one archive blob per row.
+corpora very often arrive as tar or zip shards (WebDataset layout,
+Common Crawl derivative dumps, dataset exports), one archive blob per
+row.
 
 :func:`tar_extract` is the container->document edge: each shard blob is
 opened with stdlib ``tarfile`` (plain tar and gzip-compressed tar via
@@ -18,6 +19,7 @@ from __future__ import annotations
 
 import io
 import tarfile
+import zipfile
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -103,6 +105,74 @@ def tar_extract(
             )
 
     return shards.mapInPandas(run, schema=TAR_DOCS_SCHEMA)
+
+
+def zip_extract(
+    shards: DataFrame,
+    shard_col: str = "shard_id",
+    payload_col: str = "payload",
+    max_members: int = 1 << 20,
+) -> DataFrame:
+    """The zip twin of :func:`tar_extract`: same output schema, same
+    fail-soft row semantics, stdlib zipfile. Encrypted members and
+    per-member decompression errors become error rows."""
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = []
+            for shard_id, payload in zip(pdf[shard_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(data))
+                except (zipfile.BadZipFile, OSError, EOFError) as e:
+                    rows.append((int(shard_id), None, None, None, None,
+                                 f"bad archive: {e}"))
+                    continue
+                with zf:
+                    infos = [zi for zi in zf.infolist()
+                             if not zi.is_dir()][:max_members]
+                    for zi in infos:
+                        try:
+                            body = zf.read(zi.filename)
+                        except (zipfile.BadZipFile, RuntimeError,
+                                NotImplementedError, OSError) as e:
+                            rows.append((int(shard_id), zi.filename, None,
+                                         None, None, f"bad member: {e}"))
+                            continue
+                        ext = (zi.filename.rsplit(".", 1)[-1].lower()
+                               if "." in zi.filename else "txt")
+                        try:
+                            r = C.convert_bytes(body, ext)
+                            rows.append((
+                                int(shard_id), zi.filename, _fmt_of(ext),
+                                len(body), r["markdown"], None,
+                            ))
+                        except (C.MalformedDocument, InputTooLarge,
+                                ValueError) as e:
+                            rows.append((int(shard_id), zi.filename,
+                                         _fmt_of(ext), len(body), None,
+                                         str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=["shard_id", "member", "fmt", "n_bytes",
+                         "markdown", "error"],
+            )
+
+    return shards.mapInPandas(run, schema=TAR_DOCS_SCHEMA)
+
+
+def build_zip(members: list[tuple[str, bytes]],
+              compressed: bool = True) -> bytes:
+    """In-memory zip with pinned timestamps (deterministic bytes)."""
+    buf = io.BytesIO()
+    comp = zipfile.ZIP_DEFLATED if compressed else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w", compression=comp) as zf:
+        for name, body in members:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = comp
+            zf.writestr(zi, body)
+    return buf.getvalue()
+
 
 
 # --------------------------------------------------------------------------

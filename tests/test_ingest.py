@@ -128,3 +128,32 @@ class TestGeneratorTruth:
         b = tar_shard_payloads(3, 4)
         for x, y in zip(a, b):
             assert x["payload"] == y["payload"]
+
+
+class TestZipExtraction:
+    def test_members_convert_and_match_tar_semantics(self, spark):
+        from anytomd_spark.analysis.ingest import build_zip, zip_extract
+
+        for compressed in (False, True):
+            z = build_zip([
+                ("a.txt", b"hello world"),
+                ("b.py", b"print('x')\n"),
+                ("bad.pdf", b"%PDF nope"),
+            ], compressed=compressed)
+            out = {r["member"]: r for r in
+                   zip_extract(_shards_df(spark, [(0, z)])).collect()}
+            assert out["a.txt"]["markdown"] == "hello world"
+            assert out["b.py"]["fmt"] == "code"
+            assert out["bad.pdf"]["error"] is not None
+
+    def test_bad_archive_single_error_row(self, spark):
+        from anytomd_spark.analysis.ingest import zip_extract
+
+        out = zip_extract(_shards_df(spark, [(0, b"PK\x03\x04 junk")])).collect()
+        assert len(out) == 1 and "bad archive" in out[0]["error"]
+
+    def test_zip_bytes_deterministic(self):
+        from anytomd_spark.analysis.ingest import build_zip
+
+        m = [("x.txt", b"abc" * 100)]
+        assert build_zip(m) == build_zip(m)
