@@ -480,21 +480,40 @@ def _q_text_bpe_merges(spark, sf):
     return train_bpe(docs, n_merges=12)
 
 
-def _q_ingest_tar(spark, sf):
-    """Archive-shard corpus ingestion (analysis/ingest.py): tar and
-    tar.gz shard blobs open with stdlib tarfile, every member converts
-    through the SAME dispatcher as the transcript pipeline, per-member
-    errors become rows. Member contents are pure functions of
-    (shard, index), so the oracle rebuilds each member's size and
-    expected Markdown (txt passthrough / python code fence / CSV
-    table) from those two integers in SQL — the derive.py pattern
-    applied to a second source format (WARC being the first)."""
-    from anytomd_spark.analysis.ingest import synthesize_tar_shards, tar_extract
+def _q_ingest_archives(spark, sf):
+    """Archive-shard corpus ingestion (analysis/ingest.py), tar + zip in
+    one archive-tagged union: tar/tar.gz shards open with stdlib
+    tarfile, zip shards (stored AND deflated) with zipfile, every
+    member converts through the SAME dispatcher as the transcript
+    pipeline, per-member errors become rows. Member contents are pure
+    functions of (shard, index), so the oracle rebuilds each member's
+    size and expected Markdown (txt passthrough / python code fence /
+    CSV table / sniffed .bin-with-JSON) from those two integers in SQL
+    — the derive.py pattern applied to a second and third source
+    format (WARC being the first). The zip side includes one corrupted
+    shard whose single 'bad archive' error row the oracle pins
+    literally, and the .bin members exercise magic-first detection
+    (reference priority, src/detection.rs:18-48)."""
+    from anytomd_spark.analysis.ingest import (
+        synthesize_tar_shards,
+        synthesize_zip_shards,
+        tar_extract,
+        zip_extract,
+    )
 
-    shards = synthesize_tar_shards(spark, n_shards=8, members_per=6)
-    return tar_extract(shards).select(
-        "shard_id", "member", "fmt", "n_bytes",
-        F.md5("markdown").alias("markdown_md5"),
+    cols = ["archive", "shard_id", "member", "fmt", "n_bytes",
+            "n_warnings", "markdown_md5", "error"]
+    tar_docs = tar_extract(
+        synthesize_tar_shards(spark, n_shards=8, members_per=6)
+    ).withColumn("archive", F.lit("tar"))
+    zip_docs = zip_extract(
+        synthesize_zip_shards(spark, n_shards=6, members_per=7,
+                              include_corrupt=True)
+    ).withColumn("archive", F.lit("zip"))
+    return (
+        tar_docs.unionByName(zip_docs)
+        .withColumn("markdown_md5", F.md5("markdown"))
+        .select(*cols)
     )
 
 
@@ -1107,7 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mix": _q_corpus_sample_mix,
         "web_domain_stats": _q_web_domain_stats,
         "warc_extract": _q_warc_extract,
-        "ingest_tar": _q_ingest_tar,
+        "ingest_archives": _q_ingest_archives,
         # distributed tokenizer training (iterative pair-merge)
         "text_bpe_merges": _q_text_bpe_merges,
         # relational operator competence (stable since r2 — tail slots;
@@ -1397,23 +1416,35 @@ def _media_frames_oracle(n: int = 12, every_ms: int = 250) -> str:
     """
 
 
-def _tar_oracle(n_shards: int = 8, members_per: int = 6) -> str:
-    """DuckDB twin of _q_ingest_tar: member rows as (shard, index)
-    literals, size and Markdown recomputed in SQL per format — the
-    conversion logic is re-expressed, not replayed."""
-    from anytomd_spark.analysis.ingest import tar_shard_payloads
+def _archives_oracle(n_tar: int = 8, tar_members: int = 6,
+                     n_zip: int = 6, zip_members: int = 7) -> str:
+    """DuckDB twin of _q_ingest_archives: member rows as (shard, index)
+    literals for BOTH archive families, size and Markdown recomputed in
+    SQL per format — the conversion logic is re-expressed, not
+    replayed. kind 3 is the sniffed .bin-with-JSON member (sorted-key
+    2-space fence, kernels/simple.convert_json semantics); the
+    corrupted zip shard's error row is pinned literally."""
+    from anytomd_spark.analysis.ingest import (
+        CORRUPT_ZIP_SHARD_ID,
+        tar_shard_payloads,
+        zip_shard_payloads,
+    )
 
     values = ",\n".join(
-        f"({r['shard_id']}, '{m['member']}', {m['kind']}, {m['s']}, "
-        f"{m['i']}, {m['n_bytes']})"
-        for r in tar_shard_payloads(n_shards, members_per)
+        f"('{arch}', {r['shard_id']}, '{m['member']}', {m['kind']}, "
+        f"{m['s']}, {m['i']}, {m['n_bytes']})"
+        for arch, payloads in (
+            ("tar", tar_shard_payloads(n_tar, tar_members)),
+            ("zip", zip_shard_payloads(n_zip, zip_members)),
+        )
+        for r in payloads
         for m in r["members"]
     )
     return f"""
-        SELECT shard_id::bigint AS shard_id, member,
+        SELECT archive, shard_id::bigint AS shard_id, member,
                CASE kind WHEN 0 THEN 'txt' WHEN 1 THEN 'code'
-                         ELSE 'csv' END AS fmt,
-               n_bytes::bigint AS n_bytes,
+                         WHEN 2 THEN 'csv' ELSE 'json' END AS fmt,
+               n_bytes::bigint AS n_bytes, 0::int AS n_warnings,
                md5(CASE kind
                    WHEN 0 THEN 'shard ' || s || ' member ' || i
                             || ' plain text'
@@ -1421,11 +1452,21 @@ def _tar_oracle(n_shards: int = 8, members_per: int = 6) -> str:
                             || chr(39) || 'shard ' || s || ' member '
                             || i || chr(39) || ')' || chr(10) || '```'
                             || chr(10)
-                   ELSE '| shard | member |' || chr(10) || '|---|---|'
+                   WHEN 2 THEN '| shard | member |' || chr(10) || '|---|---|'
                             || chr(10) || '| ' || s || ' | ' || i
                             || ' |' || chr(10)
-                   END) AS markdown_md5
-        FROM (VALUES {values}) AS t(shard_id, member, kind, s, i, n_bytes)
+                   ELSE '```json' || chr(10) || '{{' || chr(10)
+                            || '  "member": ' || i || ',' || chr(10)
+                            || '  "shard": ' || s || chr(10) || '}}'
+                            || chr(10) || '```' || chr(10)
+                   END) AS markdown_md5,
+               NULL::varchar AS error
+        FROM (VALUES {values})
+             AS t(archive, shard_id, member, kind, s, i, n_bytes)
+        UNION ALL
+        SELECT 'zip', {CORRUPT_ZIP_SHARD_ID}::bigint, NULL::varchar,
+               NULL::varchar, NULL::bigint, NULL::int, NULL::varchar,
+               'bad archive: File is not a zip file'
     """
 
 
@@ -2060,7 +2101,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_oracle(),
         "media_frames": _media_frames_oracle(),
         "media_image_features": _image_media_oracle(),
-        "ingest_tar": _tar_oracle(),
+        "ingest_archives": _archives_oracle(),
         "media_wav_features": _wav_media_oracle(),
         "media_resized": _resized_media_oracle(),
         # simhash / lsh-bucket-stats: the xxhash64 signature tables are

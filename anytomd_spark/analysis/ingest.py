@@ -4,15 +4,29 @@ corpora very often arrive as tar or zip shards (WebDataset layout,
 Common Crawl derivative dumps, dataset exports), one archive blob per
 row.
 
-:func:`tar_extract` is the container->document edge: each shard blob is
-opened with stdlib ``tarfile`` (plain tar and gzip-compressed tar via
-``r:*`` autodetection), every regular member is converted to Markdown
-by the SAME dispatcher the transcript pipeline uses
-(kernels/convert.convert_bytes with the member extension as the hint),
-and per-member errors are captured as rows rather than failing the
-shard — one bad member in a million-member shard must not kill the
-task. Archive-level corruption yields a single error row for the
-shard. Map-side mapInPandas over the blob column; no shuffle.
+:func:`tar_extract` / :func:`zip_extract` are the container->document
+edge: each shard blob is opened with stdlib ``tarfile`` (plain tar and
+gzip-compressed tar via ``r:*`` autodetection) or ``zipfile``, every
+regular member is converted to Markdown by the SAME dispatcher the
+transcript pipeline uses (kernels/convert.convert_bytes), and
+per-member errors are captured as rows rather than failing the shard —
+one bad member in a million-member shard must not kill the task.
+Archive-level corruption yields a single error row for the shard.
+Map-side mapInPandas over the blob column; no shuffle.
+
+Safety at the untrusted edge (same posture as the OOXML zip-bomb
+budget, kernels/ooxml.py:validate_zip_budget): a member's DECLARED size
+— tar header ``m.size``, zip central-directory ``file_size`` — is
+checked against ``max_member_bytes`` BEFORE any decompression, so one
+crafted multi-GiB-inflating member becomes an error row, never an OOM.
+
+Member format resolution mirrors the reference's detection priority
+(``/root/reference/src/detection.rs:18-48``): the filename extension
+when it is a known one, else magic-first content sniffing
+(kernels/sniff.sniff_bytes), else plain text. Warning telemetry is
+first-class like the transcript pipeline (reference
+``src/converter/mod.rs:70-78``): each converted member row carries
+``n_warnings``.
 """
 
 from __future__ import annotations
@@ -25,26 +39,52 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from anytomd_spark.kernels import convert as C
+from anytomd_spark.kernels import sniff
 from anytomd_spark.kernels.ooxml import InputTooLarge
 
-TAR_DOCS_SCHEMA = (
+ARCHIVE_DOCS_SCHEMA = (
     "shard_id long, member string, fmt string, n_bytes long, "
-    "markdown string, error string"
+    "n_warnings int, markdown string, error string"
 )
+# legacy alias (pre-r6 name, kept for external callers)
+TAR_DOCS_SCHEMA = ARCHIVE_DOCS_SCHEMA
 
-_EXT_FMT = {"txt": "txt", "md": "txt", "csv": "csv", "html": "html",
-            "htm": "html", "json": "json", "xml": "xml", "ipynb": "ipynb",
-            "docx": "docx", "pptx": "pptx", "xlsx": "xlsx", "xls": "xls"}
+_COLUMNS = ["shard_id", "member", "fmt", "n_bytes", "n_warnings",
+            "markdown", "error"]
+
+DEFAULT_MAX_MEMBER_BYTES = 256 << 20
 
 
-def _fmt_of(ext: str) -> str:
-    from anytomd_spark.kernels import sniff
+def _resolve_member(name: str, body: bytes) -> tuple[str, str]:
+    """(dispatch_hint, fmt_label) for one archive member.
 
-    if ext in _EXT_FMT:
-        return _EXT_FMT[ext]
-    if ext in sniff.CODE_EXTS:
-        return "code"
-    return ext
+    Extension-first when the extension is a known one (the reference
+    dispatcher trusts filenames, lib.rs:95-139); magic-first content
+    sniffing (detection.rs:18-48 priority) when the extension is
+    missing or unknown; plain text as the final fallback.
+    """
+    base = name.rsplit("/", 1)[-1]
+    ext = sniff.normalize_extension(base.rsplit(".", 1)[-1]) if "." in base else ""
+    if ext:
+        fmt = sniff.detect_by_extension(ext)
+        if fmt is not None:
+            # dispatch with the real extension (code fences need the
+            # language), label with the format family
+            return ext, fmt
+    sniffed = sniff.sniff_bytes(body)
+    if sniffed is not None:
+        return sniffed, sniffed
+    return "txt", "txt"
+
+
+def _member_row(shard_id: int, name: str, body: bytes) -> tuple:
+    hint, fmt = _resolve_member(name, body)
+    try:
+        r = C.convert_bytes(body, hint)
+        return (shard_id, name, fmt, len(body), len(r["warnings"]),
+                r["markdown"], None)
+    except (C.MalformedDocument, InputTooLarge, ValueError) as e:
+        return (shard_id, name, fmt, len(body), None, None, str(e))
 
 
 def tar_extract(
@@ -52,9 +92,12 @@ def tar_extract(
     shard_col: str = "shard_id",
     payload_col: str = "payload",
     max_members: int = 1 << 20,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
 ) -> DataFrame:
     """One row per regular archive member: (shard_id, member, fmt,
-    n_bytes, markdown, error)."""
+    n_bytes, n_warnings, markdown, error). Members whose tar header
+    declares more than ``max_member_bytes`` are rejected as error rows
+    WITHOUT being read."""
 
     def run(iterator):
         for pdf in iterator:
@@ -65,7 +108,7 @@ def tar_extract(
                     tf = tarfile.open(fileobj=io.BytesIO(data), mode="r:*")
                 except (tarfile.TarError, EOFError, OSError) as e:
                     rows.append((int(shard_id), None, None, None, None,
-                                 f"bad archive: {e}"))
+                                 None, f"bad archive: {e}"))
                     continue
                 n_seen = 0
                 with tf:
@@ -75,36 +118,26 @@ def tar_extract(
                         n_seen += 1
                         if n_seen > max_members:
                             rows.append((int(shard_id), None, None, None,
-                                         None,
+                                         None, None,
                                          f"member count exceeds "
                                          f"{max_members}"))
                             break
+                        if m.size > max_member_bytes:
+                            rows.append((int(shard_id), m.name, None,
+                                         int(m.size), None, None,
+                                         f"member size {m.size} exceeds "
+                                         f"budget {max_member_bytes}"))
+                            continue
                         try:
                             body = tf.extractfile(m).read()
                         except (tarfile.TarError, OSError) as e:
                             rows.append((int(shard_id), m.name, None, None,
-                                         None, f"bad member: {e}"))
+                                         None, None, f"bad member: {e}"))
                             continue
-                        ext = (m.name.rsplit(".", 1)[-1].lower()
-                               if "." in m.name else "txt")
-                        try:
-                            r = C.convert_bytes(body, ext)
-                            rows.append((
-                                int(shard_id), m.name, _fmt_of(ext),
-                                len(body), r["markdown"], None,
-                            ))
-                        except (C.MalformedDocument, InputTooLarge,
-                                ValueError) as e:
-                            rows.append((int(shard_id), m.name,
-                                         _fmt_of(ext), len(body), None,
-                                         str(e)))
-            yield pd.DataFrame(
-                rows,
-                columns=["shard_id", "member", "fmt", "n_bytes",
-                         "markdown", "error"],
-            )
+                        rows.append(_member_row(int(shard_id), m.name, body))
+            yield pd.DataFrame(rows, columns=_COLUMNS)
 
-    return shards.mapInPandas(run, schema=TAR_DOCS_SCHEMA)
+    return shards.mapInPandas(run, schema=ARCHIVE_DOCS_SCHEMA)
 
 
 def zip_extract(
@@ -112,10 +145,15 @@ def zip_extract(
     shard_col: str = "shard_id",
     payload_col: str = "payload",
     max_members: int = 1 << 20,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
 ) -> DataFrame:
     """The zip twin of :func:`tar_extract`: same output schema, same
     fail-soft row semantics, stdlib zipfile. Encrypted members and
-    per-member decompression errors become error rows."""
+    per-member decompression errors become error rows; a shard with
+    more than ``max_members`` members yields the first ``max_members``
+    plus an explicit truncation error row (never a silent drop); a
+    member whose CENTRAL DIRECTORY declares more than
+    ``max_member_bytes`` uncompressed is rejected before inflation."""
 
     def run(iterator):
         for pdf in iterator:
@@ -126,40 +164,41 @@ def zip_extract(
                     zf = zipfile.ZipFile(io.BytesIO(data))
                 except (zipfile.BadZipFile, OSError, EOFError) as e:
                     rows.append((int(shard_id), None, None, None, None,
-                                 f"bad archive: {e}"))
+                                 None, f"bad archive: {e}"))
                     continue
                 with zf:
-                    infos = [zi for zi in zf.infolist()
-                             if not zi.is_dir()][:max_members]
-                    for zi in infos:
+                    infos = [zi for zi in zf.infolist() if not zi.is_dir()]
+                    truncated = len(infos) > max_members
+                    for zi in infos[:max_members]:
+                        if zi.file_size > max_member_bytes:
+                            rows.append((int(shard_id), zi.filename, None,
+                                         int(zi.file_size), None, None,
+                                         f"member size {zi.file_size} "
+                                         f"exceeds budget "
+                                         f"{max_member_bytes}"))
+                            continue
                         try:
                             body = zf.read(zi.filename)
                         except (zipfile.BadZipFile, RuntimeError,
                                 NotImplementedError, OSError) as e:
                             rows.append((int(shard_id), zi.filename, None,
-                                         None, None, f"bad member: {e}"))
+                                         None, None, None,
+                                         f"bad member: {e}"))
                             continue
-                        ext = (zi.filename.rsplit(".", 1)[-1].lower()
-                               if "." in zi.filename else "txt")
-                        try:
-                            r = C.convert_bytes(body, ext)
-                            rows.append((
-                                int(shard_id), zi.filename, _fmt_of(ext),
-                                len(body), r["markdown"], None,
-                            ))
-                        except (C.MalformedDocument, InputTooLarge,
-                                ValueError) as e:
-                            rows.append((int(shard_id), zi.filename,
-                                         _fmt_of(ext), len(body), None,
-                                         str(e)))
-            yield pd.DataFrame(
-                rows,
-                columns=["shard_id", "member", "fmt", "n_bytes",
-                         "markdown", "error"],
-            )
+                        rows.append(_member_row(int(shard_id), zi.filename,
+                                                body))
+                    if truncated:
+                        rows.append((int(shard_id), None, None, None, None,
+                                     None,
+                                     f"member count exceeds {max_members}"))
+            yield pd.DataFrame(rows, columns=_COLUMNS)
 
-    return shards.mapInPandas(run, schema=TAR_DOCS_SCHEMA)
+    return shards.mapInPandas(run, schema=ARCHIVE_DOCS_SCHEMA)
 
+
+# --------------------------------------------------------------------------
+# deterministic synthetic shards (tests + driver oracle)
+# --------------------------------------------------------------------------
 
 def build_zip(members: list[tuple[str, bytes]],
               compressed: bool = True) -> bytes:
@@ -173,11 +212,6 @@ def build_zip(members: list[tuple[str, bytes]],
             zf.writestr(zi, body)
     return buf.getvalue()
 
-
-
-# --------------------------------------------------------------------------
-# deterministic synthetic shards (tests + driver oracle)
-# --------------------------------------------------------------------------
 
 def build_tar(members: list[tuple[str, bytes]], gzipped: bool = False) -> bytes:
     """In-memory tar (optionally .tar.gz) from (name, bytes) members,
@@ -201,11 +235,25 @@ def build_tar(members: list[tuple[str, bytes]], gzipped: bool = False) -> bytes:
     return out.getvalue()
 
 
+def _member_of(s: int, i: int, kind: int) -> tuple[str, bytes]:
+    """Deterministic member content, a pure function of (shard, index):
+    kind 0 txt passthrough, 1 python code fence, 2 CSV table, 3 a
+    ``.bin`` member carrying JSON bytes — the magic-first sniffing
+    path (extension unknown -> content detection)."""
+    if kind == 0:
+        return (f"doc_{i:03d}.txt", f"shard {s} member {i} plain text".encode())
+    if kind == 1:
+        return (f"doc_{i:03d}.py", f"print('shard {s} member {i}')\n".encode())
+    if kind == 2:
+        return (f"doc_{i:03d}.csv", f"shard,member\n{s},{i}\n".encode())
+    return (f"doc_{i:03d}.bin",
+            f'{{"shard": {s}, "member": {i}}}'.encode())
+
+
 def tar_shard_payloads(n_shards: int = 8, members_per: int = 6) -> list[dict]:
     """Deterministic tar shards + per-member structural truth. Member
-    contents are pure functions of (shard, index) in the three
-    SQL-reproducible formats (txt passthrough, python code fence, CSV
-    table), so the driver oracle rebuilds every member's expected
+    contents are pure functions of (shard, index) in SQL-reproducible
+    formats, so the driver oracle rebuilds every member's expected
     Markdown from those two integers — same pattern as derive.py's
     transcript payloads. Odd shards are gzip-compressed."""
     shards = []
@@ -214,19 +262,32 @@ def tar_shard_payloads(n_shards: int = 8, members_per: int = 6) -> list[dict]:
         truth = []
         for i in range(members_per):
             kind = i % 3
-            if kind == 0:
-                name = f"doc_{i:03d}.txt"
-                body = f"shard {s} member {i} plain text".encode()
-            elif kind == 1:
-                name = f"doc_{i:03d}.py"
-                body = f"print('shard {s} member {i}')\n".encode()
-            else:
-                name = f"doc_{i:03d}.csv"
-                body = f"shard,member\n{s},{i}\n".encode()
+            name, body = _member_of(s, i, kind)
             members.append((name, body))
             truth.append({"member": name, "kind": kind, "s": s, "i": i,
                           "n_bytes": len(body)})
         payload = build_tar(members, gzipped=(s % 2 == 1))
+        shards.append({"shard_id": s, "payload": payload,
+                       "members": truth})
+    return shards
+
+
+def zip_shard_payloads(n_shards: int = 6, members_per: int = 7) -> list[dict]:
+    """Zip twin of :func:`tar_shard_payloads`: kinds cycle 0..3 so each
+    shard exercises the sniffed ``.bin``-with-JSON path alongside the
+    extension-dispatched formats. Even shards are STORED, odd shards
+    DEFLATED — both zip storage modes ride the same oracle."""
+    shards = []
+    for s in range(n_shards):
+        members = []
+        truth = []
+        for i in range(members_per):
+            kind = i % 4
+            name, body = _member_of(s, i, kind)
+            members.append((name, body))
+            truth.append({"member": name, "kind": kind, "s": s, "i": i,
+                          "n_bytes": len(body)})
+        payload = build_zip(members, compressed=(s % 2 == 1))
         shards.append({"shard_id": s, "payload": payload,
                        "members": truth})
     return shards
@@ -238,5 +299,21 @@ def synthesize_tar_shards(spark, n_shards: int = 8,
         (r["shard_id"], bytearray(r["payload"]))
         for r in tar_shard_payloads(n_shards, members_per)
     ]
+    pdf = pd.DataFrame(rows, columns=["shard_id", "payload"])
+    return spark.createDataFrame(pdf, schema="shard_id long, payload binary")
+
+
+CORRUPT_ZIP_SHARD_ID = 999
+CORRUPT_ZIP_PAYLOAD = b"this is not a zip shard at all"
+
+
+def synthesize_zip_shards(spark, n_shards: int = 6, members_per: int = 7,
+                          include_corrupt: bool = False) -> DataFrame:
+    rows = [
+        (r["shard_id"], bytearray(r["payload"]))
+        for r in zip_shard_payloads(n_shards, members_per)
+    ]
+    if include_corrupt:
+        rows.append((CORRUPT_ZIP_SHARD_ID, bytearray(CORRUPT_ZIP_PAYLOAD)))
     pdf = pd.DataFrame(rows, columns=["shard_id", "payload"])
     return spark.createDataFrame(pdf, schema="shard_id long, payload binary")

@@ -92,6 +92,44 @@ def maybe_base64_binary(payload: str) -> bytes | None:
     return None
 
 
+def _sniff_text_content(payload: str) -> str | None:
+    """Textual content heuristics shared by :func:`sniff_format` (turn
+    payloads) and :func:`sniff_bytes` (archive members): the JSON
+    heuristic of detection.rs:38-46, then html-ish / xml-ish markup."""
+    stripped = payload[1:] if payload.startswith("﻿") else payload
+    head = stripped.lstrip(" \t\r\n\x0b\x0c")
+    if head[:1] in ("{", "["):
+        return "json"
+    low = head[:256].lower()
+    if low.startswith("<!doctype html") or low.startswith("<html"):
+        return "html"
+    for tag in ("<head", "<body", "<div", "<p>", "<p ", "<table", "<h1", "<ul", "<span", "<br"):
+        if tag in low:
+            return "html"
+    if low.startswith("<?xml") or (head[:1] == "<" and ">" in head):
+        return "xml"
+    return None
+
+
+def sniff_bytes(data: bytes) -> str | None:
+    """Magic-first detection for raw member bytes (archive ingestion).
+
+    Mirrors the reference's detection priority (detection.rs:18-48):
+    magic bytes first — ZIP magic -> container introspection (OOXML or
+    a plain ``zip`` the dispatcher will reject loudly), OLE2 -> xls,
+    ``%PDF`` -> pdf — then the shared textual heuristics over a lossy
+    UTF-8 decode of the head. Returns None when nothing matches (the
+    caller falls back to plain text, detection.rs's final arm).
+    """
+    if data[:4] == b"PK\x03\x04":
+        return detect_zip_format(data) or "zip"
+    if data[:4] == b"\xd0\xcf\x11\xe0":
+        return "xls"
+    if data[:4] == b"%PDF":
+        return "pdf"
+    return _sniff_text_content(data[:4096].decode("utf-8", errors="replace"))
+
+
 def sniff_format(payload: str, ext_hint: str | None) -> tuple[str | None, bytes | None]:
     """Resolve the format of one turn payload.
 
@@ -117,19 +155,6 @@ def sniff_format(payload: str, ext_hint: str | None) -> tuple[str | None, bytes 
         if fmt is not None:
             return fmt, None
 
-    # 3. JSON heuristic (detection.rs:38-46), BOM-stripped
-    stripped = payload[1:] if payload.startswith("﻿") else payload
-    head = stripped.lstrip(" \t\r\n\x0b\x0c")
-    if head[:1] in ("{", "["):
-        return "json", None
-
-    # 4. Content fallback for hint-less turns: html-ish vs xml-ish markup
-    low = head[:256].lower()
-    if low.startswith("<!doctype html") or low.startswith("<html"):
-        return "html", None
-    for tag in ("<head", "<body", "<div", "<p>", "<p ", "<table", "<h1", "<ul", "<span", "<br"):
-        if tag in low:
-            return "html", None
-    if low.startswith("<?xml") or (head[:1] == "<" and ">" in head):
-        return "xml", None
-    return None, None
+    # 3 + 4. Shared textual heuristics (JSON, then markup fallback)
+    fmt = _sniff_text_content(payload)
+    return (fmt, None) if fmt else (None, None)

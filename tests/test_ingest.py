@@ -107,6 +107,116 @@ class TestExtraction:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_warning_telemetry_first_class(self, spark):
+        # cp1252 bytes in a .txt member -> decode warning surfaces as
+        # n_warnings, the same best-effort telemetry as the transcript
+        # pipeline (reference src/converter/mod.rs:70-78)
+        tar = build_tar([("latin.txt", b"caf\xe9 au lait"),
+                         ("clean.txt", b"just ascii")])
+        out = {r["member"]: r for r in
+               tar_extract(_shards_df(spark, [(0, tar)])).collect()}
+        assert out["latin.txt"]["n_warnings"] >= 1
+        assert out["clean.txt"]["n_warnings"] == 0
+        assert out["latin.txt"]["error"] is None
+
+
+class TestMagicFirstDetection:
+    """Members with unknown/missing extensions sniff content before
+    defaulting to txt (reference priority, src/detection.rs:18-48)."""
+
+    def test_bin_member_with_json_bytes(self, spark):
+        tar = build_tar([("payload.bin", b'{"k": [1, 2]}')])
+        out = tar_extract(_shards_df(spark, [(0, tar)])).collect()
+        assert out[0]["fmt"] == "json"
+        assert out[0]["markdown"].startswith("```json\n")
+
+    def test_extensionless_member_with_html_bytes(self, spark):
+        from anytomd_spark.analysis.ingest import build_zip, zip_extract
+
+        z = build_zip([("page", b"<html><body><p>hi</p></body></html>")])
+        out = zip_extract(_shards_df(spark, [(0, z)])).collect()
+        assert out[0]["fmt"] == "html"
+        assert "hi" in out[0]["markdown"]
+
+    def test_bin_member_with_xml_bytes(self, spark):
+        tar = build_tar([("conf.bin", b"<?xml version='1.0'?><a><b/></a>")])
+        out = tar_extract(_shards_df(spark, [(0, tar)])).collect()
+        assert out[0]["fmt"] == "xml"
+
+    def test_plain_zip_container_member_errors_loudly(self, spark):
+        from anytomd_spark.analysis.ingest import build_zip
+
+        inner = build_zip([("x.txt", b"inner")])
+        tar = build_tar([("nested.bin", inner)])
+        out = tar_extract(_shards_df(spark, [(0, tar)])).collect()
+        assert out[0]["fmt"] == "zip"
+        assert "unsupported format" in out[0]["error"]
+
+    def test_known_extension_still_wins(self, spark):
+        # '.txt' is a known extension: no sniffing, JSON bytes stay text
+        tar = build_tar([("notes.txt", b'{"not": "json-dispatched"}')])
+        out = tar_extract(_shards_df(spark, [(0, tar)])).collect()
+        assert out[0]["fmt"] == "txt"
+
+
+class TestMemberBudgets:
+    """Pre-decompression size budgets (the OOXML validate_zip_budget
+    posture applied to the shard edge): declared sizes checked BEFORE
+    any member bytes are read/inflated."""
+
+    def test_tar_member_over_budget_is_error_row(self, spark):
+        tar = build_tar([("big.txt", b"x" * 5000), ("ok.txt", b"fine")])
+        out = {r["member"]: r for r in tar_extract(
+            _shards_df(spark, [(0, tar)]), max_member_bytes=1000).collect()}
+        assert "exceeds budget" in out["big.txt"]["error"]
+        assert out["big.txt"]["n_bytes"] == 5000  # declared size reported
+        assert out["big.txt"]["markdown"] is None
+        assert out["ok.txt"]["error"] is None
+
+    def test_zip_member_over_budget_is_error_row(self, spark):
+        from anytomd_spark.analysis.ingest import build_zip, zip_extract
+
+        z = build_zip([("big.txt", b"y" * 5000), ("ok.txt", b"fine")])
+        out = {r["member"]: r for r in zip_extract(
+            _shards_df(spark, [(0, z)]), max_member_bytes=1000).collect()}
+        assert "exceeds budget" in out["big.txt"]["error"]
+        assert out["ok.txt"]["error"] is None
+
+    def test_zip_bomb_rejected_without_inflation(self, spark):
+        # 512 MiB of zeros deflates to ~0.5 MiB; the central-directory
+        # size check must reject it without paying decompression
+        import time
+
+        from anytomd_spark.analysis.ingest import build_zip, zip_extract
+
+        bomb = build_zip([("zeros.txt", b"\x00" * (512 << 20))])
+        assert len(bomb) < (4 << 20)
+        df = _shards_df(spark, [(0, bomb)])
+        t0 = time.time()
+        out = zip_extract(df, max_member_bytes=64 << 20).collect()
+        elapsed = time.time() - t0
+        assert len(out) == 1 and "exceeds budget" in out[0]["error"]
+        assert elapsed < 10, f"bomb reject took {elapsed:.1f}s"
+
+
+class TestZipTruncation:
+    def test_member_cap_emits_explicit_error_row(self, spark):
+        from anytomd_spark.analysis.ingest import build_zip, zip_extract
+
+        z = build_zip([(f"m{i}.txt", b"x") for i in range(5)])
+        out = zip_extract(_shards_df(spark, [(0, z)]), max_members=3).collect()
+        ok = [r for r in out if r["error"] is None]
+        err = [r for r in out if r["error"] is not None]
+        assert len(ok) == 3
+        assert len(err) == 1 and "member count exceeds 3" in err[0]["error"]
+
+    def test_tar_member_cap_matches(self, spark):
+        z = build_tar([(f"m{i}.txt", b"x") for i in range(5)])
+        out = tar_extract(_shards_df(spark, [(0, z)]), max_members=3).collect()
+        assert sum(r["error"] is None for r in out) == 3
+        assert any(r["error"] and "member count exceeds 3" in r["error"]
+                   for r in out)
+
 
 class TestGeneratorTruth:
     def test_payloads_decode_to_recorded_truth(self, spark):
@@ -157,3 +267,26 @@ class TestZipExtraction:
 
         m = [("x.txt", b"abc" * 100)]
         assert build_zip(m) == build_zip(m)
+
+    def test_zip_payload_generator_truth(self, spark):
+        import io
+        import zipfile
+
+        from anytomd_spark.analysis.ingest import zip_shard_payloads
+        from anytomd_spark.kernels.convert import convert_bytes
+
+        for r in zip_shard_payloads(3, 7):
+            zf = zipfile.ZipFile(io.BytesIO(r["payload"]))
+            names = [zi.filename for zi in zf.infolist()]
+            assert names == [m["member"] for m in r["members"]]
+            for truth in r["members"]:
+                body = zf.read(truth["member"])
+                assert len(body) == truth["n_bytes"]
+
+    def test_zip_generator_determinism(self):
+        from anytomd_spark.analysis.ingest import zip_shard_payloads
+
+        a = zip_shard_payloads(3, 7)
+        b = zip_shard_payloads(3, 7)
+        for x, y in zip(a, b):
+            assert x["payload"] == y["payload"]
