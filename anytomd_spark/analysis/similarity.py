@@ -95,31 +95,44 @@ def lsh_ann_topk(
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: union of same-bucket candidates over ``n_tables``
-    independent SRP tables, re-ranked by exact cosine."""
+    independent SRP tables, re-ranked by exact cosine.
+
+    ``n_probes`` > 0 enables multiprobe LSH (Lv et al., VLDB'07 idea in
+    its simplest single-bit-flip form): each QUERY additionally probes
+    the ``n_probes`` buckets at Hamming distance 1 from its signature
+    (flipping one plane's bit), trading a small candidate-set increase
+    for recall WITHOUT more signature tables — at scale, extra probes
+    are rows on the tiny broadcast query side, while extra tables would
+    re-explode the whole corpus."""
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
 
-    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+    def with_buckets(df: DataFrame, prefix: str, probes: int) -> DataFrame:
+        entries = []
+        for t in range(n_tables):
+            sig = srp_signature(F.col(vec_col), tables[t])
+            entries.append(F.struct(
+                F.lit(t).alias("table"), sig.alias("bucket")))
+            for p in range(min(probes, n_planes)):
+                entries.append(F.struct(
+                    F.lit(t).alias("table"),
+                    sig.bitwiseXOR(F.lit(1 << p).cast("long")).alias("bucket"),
+                ))
         out = df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_vec"),
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    srp_signature(F.col(vec_col), tables[t]).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ])).alias("tb"),
+            F.explode(F.array(*entries)).alias("tb"),
         )
         return out.select(
             f"{prefix}_id", f"{prefix}_vec", "tb.table", "tb.bucket"
         )
 
-    cb = with_buckets(corpus, "cand")
-    qb = with_buckets(queries, "query")
+    cb = with_buckets(corpus, "cand", probes=0)
+    qb = with_buckets(queries, "query", probes=n_probes)
     # dedup candidate ids BEFORE touching vectors: a distinct over the
     # full embedding arrays would shuffle/compare fat rows; (query_id,
     # cand_id) is 16 bytes
@@ -257,6 +270,30 @@ def ivf_ann_topk(
     return (
         scored.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
+    )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Quality metric for the ANN operators: per-query |approx ∩ exact| / k,
+    averaged over the query set. ``exact`` is :func:`brute_force_topk`'s
+    output, ``approx`` any ANN top-k with the same (query_id, cand_id)
+    columns. Returns one row (n_queries, recall_at_k). Queries whose
+    approximate result is empty count as recall 0 — missing buckets are
+    a quality failure, not a denominator trick."""
+    hits = exact.select("query_id", "cand_id").join(
+        approx.select("query_id", "cand_id"), ["query_id", "cand_id"]
+    )
+    per_q = (
+        exact.select("query_id").distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id", "left",
+        )
+        .select(F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(F.col("n_hit") / F.lit(float(k))), 6).alias("recall_at_k"),
     )
 
 

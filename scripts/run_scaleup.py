@@ -35,6 +35,16 @@ HEAVY = [
     "sim_ann_lsh", "corpus_decontaminate",
 ]
 
+# the heaviest-shuffle family gets its own 1x/10x/100x sweep (r5 verdict
+# #5): banded LSH + verify, connected components, winnowed shared spans
+DEDUP = ["dedup_minhash_pairs", "dedup_clusters", "dedup_shared_spans"]
+
+
+def _sf_dir_for(mult: int) -> str:
+    if mult == 1:
+        return "/root/testdata/sf0.1"
+    return os.path.join(REPO, ".bench", f"sf{mult // 10}")
+
 
 def _jvm_vmhwm_kb(spark) -> int:
     pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
@@ -75,20 +85,20 @@ def run_leg(leg: str, mult: int) -> None:
     else:
         import statistics
 
-        sf_dir = ("/root/testdata/sf0.1" if mult == 1
-                  else os.path.join(REPO, ".bench", "sf1"))
+        names = DEDUP if leg == "dedup" else HEAVY
+        sf_dir = _sf_dir_for(mult)
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         qs = entrymod.queries()
         rounds = int(os.environ.get("SPARK_GRAFT_SCALEUP_ROUNDS", "3"))
         # one untimed warmup pass (codegen, Python workers, page cache),
         # then interleaved rounds with per-query medians — single cold
         # samples swung 5x between consecutive runs of this leg
-        for name in HEAVY:
+        for name in names:
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
-        samples: dict[str, list[float]] = {n: [] for n in HEAVY}
+        samples: dict[str, list[float]] = {n: [] for n in names}
         for _ in range(rounds):
-            for name in HEAVY:
+            for name in names:
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite").save()
@@ -99,7 +109,7 @@ def run_leg(leg: str, mult: int) -> None:
             "sf_dir": sf_dir, "n_docs": n_docs, "rounds": rounds,
             "samples": samples, "queries": timings,
             "total_sec": round(sum(timings.values()), 3),
-            "docs_per_sec": round(n_docs * len(HEAVY)
+            "docs_per_sec": round(n_docs * len(names)
                                   / sum(timings.values()), 1),
         })
     out["jvm_vmhwm_mb"] = round(_jvm_vmhwm_kb(spark) / 1024)
@@ -109,11 +119,41 @@ def run_leg(leg: str, mult: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--leg", choices=["convert", "analysis"])
+    ap.add_argument("--leg", choices=["convert", "analysis", "dedup"])
     ap.add_argument("--mult", type=int)
+    ap.add_argument("--dedup-sweep", action="store_true",
+                    help="dedup family at 1x/10x/100x (5k/50k/500k docs); "
+                         "generate .bench/sf1 + .bench/sf10 first")
     args = ap.parse_args()
     if args.leg:
         run_leg(args.leg, args.mult or 1)
+        return
+    if args.dedup_sweep:
+        results = []
+        for mult in (1, 10, 100):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--leg", "dedup", "--mult", str(mult)],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("SCALEUP ")]
+            if not line:
+                sys.exit(f"dedup x{mult} failed:\n{p.stdout[-2000:]}"
+                         f"\n{p.stderr[-4000:]}")
+            results.append(json.loads(line[-1][8:]))
+            print(line[-1], flush=True)
+        base = results[0]
+        print(json.dumps({
+            "dedup_docs_per_sec": {f"{r['mult']}x": r["docs_per_sec"]
+                                   for r in results},
+            "dedup_time_growth_vs_input": {
+                f"{r['mult']}x": round(
+                    (r["total_sec"] / base["total_sec"]) / r["mult"], 3)
+                for r in results},
+            "jvm_vmhwm_mb": {f"{r['mult']}x": r["jvm_vmhwm_mb"]
+                             for r in results},
+        }))
         return
     results = []
     for leg in ("analysis", "convert"):

@@ -871,3 +871,49 @@ def test_cross_codec_differential_consistency():
     want_q = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int64)
     assert (got_q == want_q).all()
     assert np.abs(got_q - sig).max() <= 1  # within 1 LSB of the source
+
+
+class TestAnnRecallPinned:
+    """Pinned recall@k vs brute force on the driver's embeddings table
+    (r5 verdict #6): the operators' QUALITY, not just determinism.
+    Everything is seeded, so the measured values (lsh mp6 0.59, ivf
+    c16p8 0.84, lsh p4t16 0.89 at sf0.01, k=5, 20 queries) are exact
+    reproductions; thresholds pin slightly below to stay robust to a
+    future embeddings regeneration."""
+
+    @pytest.fixture(scope="class")
+    def recall_parts(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = SIM.brute_force_topk(emb, q, k=5).persist()
+        exact.count()
+        yield emb, q, exact
+        exact.unpersist()
+
+    def _recall(self, exact, approx):
+        return float(
+            SIM.recall_at_k(exact, approx, k=5).collect()[0]["recall_at_k"]
+        )
+
+    def test_multiprobe_lsh_recall(self, recall_parts):
+        emb, q, exact = recall_parts
+        approx = SIM.lsh_ann_topk(emb, q, k=5, n_planes=6, n_tables=4,
+                                  n_probes=6)
+        assert self._recall(exact, approx) >= 0.5
+
+    def test_multiprobe_beats_probe_less_at_same_tables(self, recall_parts):
+        emb, q, exact = recall_parts
+        base = SIM.lsh_ann_topk(emb, q, k=5, n_planes=6, n_tables=4)
+        mp = SIM.lsh_ann_topk(emb, q, k=5, n_planes=6, n_tables=4,
+                              n_probes=6)
+        assert self._recall(exact, mp) > self._recall(exact, base)
+
+    def test_wide_lsh_recall(self, recall_parts):
+        emb, q, exact = recall_parts
+        approx = SIM.lsh_ann_topk(emb, q, k=5, n_planes=4, n_tables=16)
+        assert self._recall(exact, approx) >= 0.8
+
+    def test_ivf_recall(self, recall_parts):
+        emb, q, exact = recall_parts
+        approx = SIM.ivf_ann_topk(emb, q, k=5, n_clusters=16, n_probe=8)
+        assert self._recall(exact, approx) >= 0.75
