@@ -538,6 +538,12 @@ def _q_ingest_archives(spark, sf):
     return (
         tar_docs.unionByName(zip_docs)
         .withColumn("markdown_md5", F.md5("markdown"))
+        # -1 sentinels for the archive-level error row: a NULL in an
+        # integer column floats the whole pandas column on the driver's
+        # toPandas side and hash-mismatches the oracle's integers
+        .withColumn("n_bytes", F.coalesce("n_bytes", F.lit(-1)))
+        .withColumn("n_warnings",
+                    F.coalesce("n_warnings", F.lit(-1)).cast("int"))
         .select(*cols)
     )
 
@@ -1495,7 +1501,7 @@ def _archives_oracle(n_tar: int = 8, tar_members: int = 6,
              AS t(archive, shard_id, member, kind, s, i, n_bytes)
         UNION ALL
         SELECT 'zip', {CORRUPT_ZIP_SHARD_ID}::bigint, NULL::varchar,
-               NULL::varchar, NULL::bigint, NULL::int, NULL::varchar,
+               NULL::varchar, -1::bigint, -1::int, NULL::varchar,
                'bad archive: File is not a zip file'
     """
 
