@@ -141,9 +141,14 @@ def collapse_whitespace(s: str) -> str:
     """Collapse runs of ASCII whitespace into single spaces (html.rs:648-663).
 
     Only ASCII whitespace collapses (matching Rust's is_ascii_whitespace);
-    unicode spaces pass through untouched.
+    unicode spaces pass through untouched. A string whose only ASCII
+    whitespace is isolated single spaces is already collapsed — returned
+    as-is (C-speed containment scans beat the regex rebuild on the hot
+    text path, where most runs are plain prose).
     """
-    return _WS_RUN.sub(" ", s)
+    if ("\n" in s or "  " in s or "\t" in s or "\r" in s or "\x0c" in s):
+        return _WS_RUN.sub(" ", s)
+    return s
 
 
 class _Walker:
@@ -177,6 +182,9 @@ class _Walker:
         buf = self.out
         buf.chunks.append(s)
         buf.length += len(s)
+        if s[-1] != "\n":  # common case: no trailing newline
+            self.trailing_newlines = 0
+            return
         stripped = len(s.rstrip("\n"))
         if stripped == 0:
             self.trailing_newlines += len(s)
@@ -206,6 +214,9 @@ class _Walker:
         buf = self.plain
         buf.chunks.append(s)
         buf.length += len(s)
+        if s[-1] != "\n":
+            self.plain_trailing_newlines = 0
+            return
         stripped = len(s.rstrip("\n"))
         if stripped == 0:
             self.plain_trailing_newlines += len(s)
@@ -239,6 +250,123 @@ class _Walker:
 
     # ---- open edge ----
 
+    # Per-tag open-edge actions (html.rs handle_open :255-420), dict-
+    # dispatched: one hash probe instead of a ~19-branch elif scan per
+    # tag event on the hottest walker path.
+
+    def _open_heading(self, tag: str, attrs) -> None:
+        self.both_ensure_blank_line()
+        self.pending_heading = (int(tag[1]), self.out.length, self.plain.length)
+
+    def _open_p(self, tag: str, attrs) -> None:
+        if not self.in_table_cell():
+            self.both_ensure_blank_line()
+
+    def _open_a(self, tag: str, attrs) -> None:
+        self.pending_link = (attrs.get("href") or "", self.out.length)
+
+    def _open_img(self, tag: str, attrs) -> None:
+        alt = attrs.get("alt") or ""
+        src = attrs.get("src") or ""
+        self.push_str(f"![{alt}]({src})")
+        self.plain_push_str(alt)
+
+    def _open_strong(self, tag: str, attrs) -> None:
+        self.push_str("**")
+
+    def _open_em(self, tag: str, attrs) -> None:
+        self.push_str("*")
+
+    def _open_code(self, tag: str, attrs) -> None:
+        if not self.in_pre:
+            self.push_str("`")
+
+    def _open_pre(self, tag: str, attrs) -> None:
+        self.in_pre = True
+        self.both_ensure_blank_line()
+        self.push_str("```\n")
+
+    def _open_list(self, tag: str, attrs) -> None:
+        if self.list_stack:
+            self.both_ensure_newline()
+        else:
+            self.both_ensure_blank_line()
+        self.list_stack.append([tag == "ol", 0])
+
+    def _open_li(self, tag: str, attrs) -> None:
+        indent = "  " * max(0, len(self.list_stack) - 1)
+        if self.list_stack:
+            ctx = self.list_stack[-1]
+            ctx[1] += 1
+            prefix = f"{indent}{ctx[1]}. " if ctx[0] else f"{indent}- "
+        else:
+            prefix = f"{indent}- "
+        self.push_str(prefix)
+        self.plain_push_str(indent)
+
+    def _open_table(self, tag: str, attrs) -> None:
+        self.both_ensure_blank_line()
+        self.table = {
+            "headers": [], "rows": [], "current_row": [],
+            "current_cell": [], "in_header": False, "in_cell": False,
+        }
+
+    def _open_thead(self, tag: str, attrs) -> None:
+        if self.table is not None:
+            self.table["in_header"] = True
+
+    def _open_tbody(self, tag: str, attrs) -> None:
+        if self.table is not None:
+            self.table["in_header"] = False
+
+    def _open_tr(self, tag: str, attrs) -> None:
+        if self.table is not None:
+            self.table["current_row"] = []
+
+    def _open_cell(self, tag: str, attrs) -> None:
+        if self.table is not None:
+            self.table["current_cell"] = []
+            self.table["in_cell"] = True
+
+    def _open_blockquote(self, tag: str, attrs) -> None:
+        self.blockquote_depth += 1
+        self.ensure_newline()
+        self.plain_ensure_newline()
+
+    def _open_hr(self, tag: str, attrs) -> None:
+        self.ensure_blank_line()
+        self.push_str("---\n")
+        self.plain_ensure_blank_line()
+
+    def _open_br(self, tag: str, attrs) -> None:
+        if self.in_pre:
+            self.both_push_str("\n")
+        elif self.in_table_cell():
+            pass  # table cells: newline dropped (html.rs:392-394)
+        else:
+            self.both_push_str("\n")
+            if self.blockquote_depth > 0:
+                self.push_str("> " * self.blockquote_depth)
+
+    def _open_input(self, tag: str, attrs) -> None:
+        if (attrs.get("type") or "") == "checkbox":
+            self.push_str("[x] " if "checked" in attrs else "[ ] ")
+
+    _OPEN_DISPATCH = {
+        "h1": _open_heading, "h2": _open_heading, "h3": _open_heading,
+        "h4": _open_heading, "h5": _open_heading, "h6": _open_heading,
+        "p": _open_p, "a": _open_a, "img": _open_img,
+        "strong": _open_strong, "b": _open_strong,
+        "em": _open_em, "i": _open_em,
+        "code": _open_code, "pre": _open_pre,
+        "ul": _open_list, "ol": _open_list, "li": _open_li,
+        "table": _open_table, "thead": _open_thead, "tbody": _open_tbody,
+        "tr": _open_tr, "th": _open_cell, "td": _open_cell,
+        "blockquote": _open_blockquote, "hr": _open_hr, "br": _open_br,
+        "input": _open_input,
+    }
+    assert frozenset(_OPEN_DISPATCH) == _OPEN_TAGS
+
     def handle_open(self, tag: str, attrs: dict[str, str | None]) -> None:
         if tag in _CAPTURE_OR_SKIP:
             if (self._title_capture is None and tag == "title"
@@ -250,89 +378,114 @@ class _Walker:
             if tag in _SKIP_TAGS:
                 self.skip_depth += 1
                 return
-        if self.skip_depth > 0 or tag not in _OPEN_TAGS:
+        if self.skip_depth > 0:
             return
-        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
-            self.both_ensure_blank_line()
-            self.pending_heading = (int(tag[1]), self.out.length, self.plain.length)
-        elif tag == "p":
-            if not self.in_table_cell():
-                self.both_ensure_blank_line()
-        elif tag == "a":
-            self.pending_link = (attrs.get("href") or "", self.out.length)
-        elif tag == "img":
-            alt = attrs.get("alt") or ""
-            src = attrs.get("src") or ""
-            self.push_str(f"![{alt}]({src})")
-            self.plain_push_str(alt)
-        elif tag in ("strong", "b"):
-            self.push_str("**")
-        elif tag in ("em", "i"):
-            self.push_str("*")
-        elif tag == "code":
-            if not self.in_pre:
-                self.push_str("`")
-        elif tag == "pre":
-            self.in_pre = True
-            self.both_ensure_blank_line()
-            self.push_str("```\n")
-        elif tag in ("ul", "ol"):
-            if self.list_stack:
-                self.both_ensure_newline()
-            else:
-                self.both_ensure_blank_line()
-            self.list_stack.append([tag == "ol", 0])
-        elif tag == "li":
-            indent = "  " * max(0, len(self.list_stack) - 1)
-            if self.list_stack:
-                ctx = self.list_stack[-1]
-                ctx[1] += 1
-                prefix = f"{indent}{ctx[1]}. " if ctx[0] else f"{indent}- "
-            else:
-                prefix = f"{indent}- "
-            self.push_str(prefix)
-            self.plain_push_str(indent)
-        elif tag == "table":
-            self.both_ensure_blank_line()
-            self.table = {
-                "headers": [], "rows": [], "current_row": [],
-                "current_cell": [], "in_header": False, "in_cell": False,
-            }
-        elif tag == "thead":
-            if self.table is not None:
-                self.table["in_header"] = True
-        elif tag == "tbody":
-            if self.table is not None:
-                self.table["in_header"] = False
-        elif tag == "tr":
-            if self.table is not None:
-                self.table["current_row"] = []
-        elif tag in ("th", "td"):
-            if self.table is not None:
-                self.table["current_cell"] = []
-                self.table["in_cell"] = True
-        elif tag == "blockquote":
-            self.blockquote_depth += 1
-            self.ensure_newline()
-            self.plain_ensure_newline()
-        elif tag == "hr":
-            self.ensure_blank_line()
-            self.push_str("---\n")
-            self.plain_ensure_blank_line()
-        elif tag == "br":
-            if self.in_pre:
-                self.both_push_str("\n")
-            elif self.in_table_cell():
-                pass  # table cells: newline dropped (html.rs:392-394)
-            else:
-                self.both_push_str("\n")
-                if self.blockquote_depth > 0:
-                    self.push_str("> " * self.blockquote_depth)
-        elif tag == "input":
-            if (attrs.get("type") or "") == "checkbox":
-                self.push_str("[x] " if "checked" in attrs else "[ ] ")
+        handler = self._OPEN_DISPATCH.get(tag)
+        if handler is not None:
+            handler(self, tag, attrs)
 
     # ---- close edge ----
+
+    # Per-tag close-edge actions (html.rs handle_close :422-520), dict-
+    # dispatched like _OPEN_DISPATCH.
+
+    def _close_heading(self, tag: str) -> None:
+        if self.pending_heading is not None:
+            level, start, plain_start = self.pending_heading
+            self.pending_heading = None
+            text = self.out.tail_from(start)
+            self.out.truncate(start)
+            self.trailing_newlines = self.out.tail_newline_count()
+            self.push_str(md.format_heading(level, text.strip()))
+            plain_text = self.plain.tail_from(plain_start)
+            self.plain.truncate(plain_start)
+            self.plain_trailing_newlines = self.plain.tail_newline_count()
+            trimmed = plain_text.strip()
+            if trimmed:
+                self.plain_push_str(trimmed)
+                self.plain_push_str("\n")
+
+    def _close_p(self, tag: str) -> None:
+        if not self.in_table_cell():
+            self.both_ensure_blank_line()
+
+    def _close_a(self, tag: str) -> None:
+        if self.pending_link is not None:
+            href, start = self.pending_link
+            self.pending_link = None
+            text = self.out.tail_from(start)
+            self.out.truncate(start)
+            self.trailing_newlines = self.out.tail_newline_count()
+            if not href:
+                self.push_str(text.strip())
+            else:
+                self.push_str(f"[{text.strip()}]({href})")
+
+    def _close_strong(self, tag: str) -> None:
+        self.push_str("**")
+
+    def _close_em(self, tag: str) -> None:
+        self.push_str("*")
+
+    def _close_code(self, tag: str) -> None:
+        if not self.in_pre:
+            self.push_str("`")
+
+    def _close_pre(self, tag: str) -> None:
+        self.ensure_newline()
+        self.push_str("```\n")
+        self.plain_ensure_newline()
+        self.in_pre = False
+
+    def _close_list(self, tag: str) -> None:
+        if self.list_stack:
+            self.list_stack.pop()
+        if not self.list_stack:
+            self.both_ensure_blank_line()
+
+    def _close_li(self, tag: str) -> None:
+        self.both_ensure_newline()
+
+    def _close_table(self, tag: str) -> None:
+        if self.table is not None:
+            tc = self.table
+            self.table = None
+            self.push_str(_render_table(tc, plain=False))
+            self.plain_push_str(_render_table(tc, plain=True))
+
+    def _close_tr(self, tag: str) -> None:
+        if self.table is not None:
+            row = self.table["current_row"]
+            self.table["current_row"] = []
+            if self.table["in_header"]:
+                self.table["headers"] = row
+            else:
+                self.table["rows"].append(row)
+
+    def _close_cell(self, tag: str) -> None:
+        if self.table is not None:
+            cell = "".join(self.table["current_cell"]).strip()
+            self.table["current_cell"] = []
+            self.table["current_row"].append(cell)
+            self.table["in_cell"] = False
+
+    def _close_blockquote(self, tag: str) -> None:
+        self.blockquote_depth = max(0, self.blockquote_depth - 1)
+        self.both_ensure_newline()
+
+    _CLOSE_DISPATCH = {
+        "h1": _close_heading, "h2": _close_heading, "h3": _close_heading,
+        "h4": _close_heading, "h5": _close_heading, "h6": _close_heading,
+        "p": _close_p, "a": _close_a,
+        "strong": _close_strong, "b": _close_strong,
+        "em": _close_em, "i": _close_em,
+        "code": _close_code, "pre": _close_pre,
+        "ul": _close_list, "ol": _close_list, "li": _close_li,
+        "table": _close_table, "tr": _close_tr,
+        "th": _close_cell, "td": _close_cell,
+        "blockquote": _close_blockquote,
+    }
+    assert frozenset(_CLOSE_DISPATCH) == _CLOSE_TAGS
 
     def handle_close(self, tag: str) -> None:
         if tag in _CAPTURE_OR_SKIP:
@@ -349,79 +502,11 @@ class _Walker:
             if tag in _SKIP_TAGS:
                 self.skip_depth = max(0, self.skip_depth - 1)
                 return
-        if self.skip_depth > 0 or tag not in _CLOSE_TAGS:
+        if self.skip_depth > 0:
             return
-        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
-            if self.pending_heading is not None:
-                level, start, plain_start = self.pending_heading
-                self.pending_heading = None
-                text = self.out.tail_from(start)
-                self.out.truncate(start)
-                self.trailing_newlines = self.out.tail_newline_count()
-                self.push_str(md.format_heading(level, text.strip()))
-                plain_text = self.plain.tail_from(plain_start)
-                self.plain.truncate(plain_start)
-                self.plain_trailing_newlines = self.plain.tail_newline_count()
-                trimmed = plain_text.strip()
-                if trimmed:
-                    self.plain_push_str(trimmed)
-                    self.plain_push_str("\n")
-        elif tag == "p":
-            if not self.in_table_cell():
-                self.both_ensure_blank_line()
-        elif tag == "a":
-            if self.pending_link is not None:
-                href, start = self.pending_link
-                self.pending_link = None
-                text = self.out.tail_from(start)
-                self.out.truncate(start)
-                self.trailing_newlines = self.out.tail_newline_count()
-                if not href:
-                    self.push_str(text.strip())
-                else:
-                    self.push_str(f"[{text.strip()}]({href})")
-        elif tag in ("strong", "b"):
-            self.push_str("**")
-        elif tag in ("em", "i"):
-            self.push_str("*")
-        elif tag == "code":
-            if not self.in_pre:
-                self.push_str("`")
-        elif tag == "pre":
-            self.ensure_newline()
-            self.push_str("```\n")
-            self.plain_ensure_newline()
-            self.in_pre = False
-        elif tag in ("ul", "ol"):
-            if self.list_stack:
-                self.list_stack.pop()
-            if not self.list_stack:
-                self.both_ensure_blank_line()
-        elif tag == "li":
-            self.both_ensure_newline()
-        elif tag == "table":
-            if self.table is not None:
-                tc = self.table
-                self.table = None
-                self.push_str(_render_table(tc, plain=False))
-                self.plain_push_str(_render_table(tc, plain=True))
-        elif tag == "tr":
-            if self.table is not None:
-                row = self.table["current_row"]
-                self.table["current_row"] = []
-                if self.table["in_header"]:
-                    self.table["headers"] = row
-                else:
-                    self.table["rows"].append(row)
-        elif tag in ("th", "td"):
-            if self.table is not None:
-                cell = "".join(self.table["current_cell"]).strip()
-                self.table["current_cell"] = []
-                self.table["current_row"].append(cell)
-                self.table["in_cell"] = False
-        elif tag == "blockquote":
-            self.blockquote_depth = max(0, self.blockquote_depth - 1)
-            self.both_ensure_newline()
+        handler = self._CLOSE_DISPATCH.get(tag)
+        if handler is not None:
+            handler(self, tag)
 
     # ---- text ----
 
