@@ -16,13 +16,18 @@ def escape_cell(content: str) -> str:
 
     Order matters: backslash first, then pipe, then CRLF/NL -> <br>, drop CR.
     """
-    return (
-        content.replace("\\", "\\\\")
-        .replace("|", "\\|")
-        .replace("\r\n", "<br>")
-        .replace("\n", "<br>")
-        .replace("\r", "")
-    )
+    if (
+        "\\" in content or "|" in content
+        or "\n" in content or "\r" in content
+    ):
+        return (
+            content.replace("\\", "\\\\")
+            .replace("|", "\\|")
+            .replace("\r\n", "<br>")
+            .replace("\n", "<br>")
+            .replace("\r", "")
+        )
+    return content
 
 
 def build_table(headers: list[str], rows: list[list[str]]) -> str:
