@@ -31,6 +31,7 @@ from anytomd_spark.kernels.ooxml import (
     open_zip,
     parse_relationships,
     parse_xml_events,
+    parse_xml_events_raw,
     read_zip_text,
     resolve_image_placeholders,
     validate_zip_budget,
@@ -271,7 +272,13 @@ def parse_document(
             s.para_runs.append(seg)
             s.para_runs_plain.append(seg_plain)
 
-    def start(local, attrs):
+    local_names: dict[str, str] = {}
+
+    def start(name, attrs):
+        try:
+            local = local_names[name]
+        except KeyError:
+            local = local_names[name] = name[name.rfind(":") + 1:]
         if ctx["in_mc_choice"]:
             ctx["mc_depth"] += 1
             return
@@ -381,7 +388,11 @@ def parse_document(
         if s.in_text and s.in_run:
             push_seg((data, s.run_bold, s.run_italic))
 
-    def end(local):
+    def end(name):
+        try:
+            local = local_names[name]
+        except KeyError:
+            local = local_names[name] = name[name.rfind(":") + 1:]
         if ctx["in_mc_choice"]:
             ctx["mc_depth"] -= 1
             if ctx["mc_depth"] == 0:
@@ -508,7 +519,7 @@ def parse_document(
             ctx["image_alt"] = None
             ctx["image_rel_id"] = None
 
-    parse_xml_events(xml, start, end, text)
+    parse_xml_events_raw(xml, start, end, text)
 
     markdown = "".join(out).rstrip()
     if markdown:

@@ -27,6 +27,7 @@ from anytomd_spark.kernels.ooxml import (
     open_zip,
     parse_relationships,
     parse_xml_events,
+    parse_xml_events_raw,
     read_zip_text,
     resolve_image_placeholders,
     validate_zip_budget,
@@ -67,17 +68,25 @@ def parse_slide(xml: str) -> tuple[list[tuple], list[dict]]:
     """
     shapes: list[tuple] = []
     warnings: list[dict] = []
-    st = {
-        "in_shape": False, "in_frame": False, "in_pic": False,
-        "ph": None, "shape_depth": 0, "frame_depth": 0, "pic_depth": 0,
-        "in_text_body": False, "in_paragraph": False, "in_run": False,
-        "in_text": False, "paragraph": [], "shape_paragraphs": [],
-        "in_table": False, "in_tr": False, "in_tc": False,
-        "table_rows": [], "row": [], "cell": [],
-        "in_cell_p": False, "in_cell_r": False, "in_cell_t": False,
-        "blip": None, "alt": None, "group_depth": 0,
-        # expat reports <x/> as Start+End; track pairs for depth bookkeeping
-    }
+    # hot path (xlsx round-3 pattern): nonlocal scalars instead of a
+    # state dict, raw-name handlers with inline local-name memoization
+    # (one Python call per event instead of two), inner dispatchers
+    # inlined, common-state (inside a shape) branch first. expat reports
+    # <x/> as Start+End; depth pairs track shape nesting.
+    in_shape = in_frame = in_pic = False
+    ph = None
+    shape_depth = frame_depth = pic_depth = group_depth = 0
+    in_text_body = in_paragraph = in_run = in_text = False
+    paragraph: list[str] = []
+    shape_paragraphs: list[str] = []
+    in_table = in_tr = in_tc = False
+    table_rows: list[list[str]] = []
+    row: list[str] = []
+    cell: list[str] = []
+    in_cell_p = in_cell_r = in_cell_t = False
+    blip = None
+    alt = None
+    local_names: dict[str, str] = {}
 
     def ph_from(attrs):
         val = attr_local(attrs, "type")
@@ -85,157 +94,163 @@ def parse_slide(xml: str) -> tuple[list[tuple], list[dict]]:
             return val
         return "other"
 
-    def shape_inner_start(local, attrs):
-        if local == "ph":
-            st["ph"] = ph_from(attrs)
-        elif local == "txBody":
-            st["in_text_body"] = True
-        elif local == "p" and st["in_text_body"]:
-            st["in_paragraph"] = True
-            st["paragraph"] = []
-        elif local == "r" and st["in_paragraph"]:
-            st["in_run"] = True
-        elif local == "t" and st["in_run"]:
-            st["in_text"] = True
-        elif local == "br" and st["in_run"]:
-            st["paragraph"].append("\n")
-
-    def frame_inner_start(local, attrs):
-        if local == "tbl":
-            st["in_table"] = True
-            st["table_rows"] = []
-        elif local == "tr" and st["in_table"]:
-            st["in_tr"] = True
-            st["row"] = []
-        elif local == "tc" and st["in_tr"]:
-            st["in_tc"] = True
-            st["cell"] = []
-        elif local == "p" and st["in_tc"]:
-            if st["cell"]:
-                st["cell"].append(" ")
-            st["in_cell_p"] = True
-        elif local == "r" and st["in_cell_p"]:
-            st["in_cell_r"] = True
-        elif local == "t" and st["in_cell_r"]:
-            st["in_cell_t"] = True
-        elif local == "br" and st["in_cell_r"]:
-            st["cell"].append(" ")
-
-    def pic_inner_start(local, attrs):
-        if local == "blip":
-            val = attr_suffix(attrs, "embed")
-            if val is not None:
-                st["blip"] = val
-        elif local == "cNvPr":
-            val = attr_local(attrs, "descr")
-            if val:
-                st["alt"] = val
-
-    def start(local, attrs):
-        if local == "grpSp" and not (st["in_shape"] or st["in_frame"] or st["in_pic"]):
-            st["group_depth"] += 1
-        elif local == "sp" and not (st["in_shape"] or st["in_frame"] or st["in_pic"]):
-            st["in_shape"] = True
-            st["shape_depth"] = 1
-            st["ph"] = None
-            st["shape_paragraphs"] = []
-        elif local == "graphicFrame" and not (st["in_shape"] or st["in_frame"] or st["in_pic"]):
-            st["in_frame"] = True
-            st["frame_depth"] = 1
-        elif local == "pic" and not (st["in_shape"] or st["in_frame"] or st["in_pic"]):
-            st["in_pic"] = True
-            st["pic_depth"] = 1
-            st["blip"] = None
-            st["alt"] = None
-        elif st["in_shape"]:
-            st["shape_depth"] += 1
-            shape_inner_start(local, attrs)
-        elif st["in_frame"]:
-            st["frame_depth"] += 1
-            frame_inner_start(local, attrs)
-        elif st["in_pic"]:
-            st["pic_depth"] += 1
-            pic_inner_start(local, attrs)
+    def start(name, attrs):
+        nonlocal in_shape, in_frame, in_pic, ph, shape_depth, frame_depth, \
+            pic_depth, group_depth, in_text_body, in_paragraph, in_run, \
+            in_text, paragraph, shape_paragraphs, in_table, in_tr, in_tc, \
+            table_rows, row, cell, in_cell_p, in_cell_r, in_cell_t, blip, alt
+        try:
+            local = local_names[name]
+        except KeyError:
+            local = local_names[name] = name[name.rfind(":") + 1:]
+        if in_shape:
+            shape_depth += 1
+            if local == "ph":
+                ph = ph_from(attrs)
+            elif local == "txBody":
+                in_text_body = True
+            elif local == "p" and in_text_body:
+                in_paragraph = True
+                paragraph = []
+            elif local == "r" and in_paragraph:
+                in_run = True
+            elif local == "t" and in_run:
+                in_text = True
+            elif local == "br" and in_run:
+                paragraph.append("\n")
+        elif in_frame:
+            frame_depth += 1
+            if local == "tbl":
+                in_table = True
+                table_rows = []
+            elif local == "tr" and in_table:
+                in_tr = True
+                row = []
+            elif local == "tc" and in_tr:
+                in_tc = True
+                cell = []
+            elif local == "p" and in_tc:
+                if cell:
+                    cell.append(" ")
+                in_cell_p = True
+            elif local == "r" and in_cell_p:
+                in_cell_r = True
+            elif local == "t" and in_cell_r:
+                in_cell_t = True
+            elif local == "br" and in_cell_r:
+                cell.append(" ")
+        elif in_pic:
+            pic_depth += 1
+            if local == "blip":
+                val = attr_suffix(attrs, "embed")
+                if val is not None:
+                    blip = val
+            elif local == "cNvPr":
+                val = attr_local(attrs, "descr")
+                if val:
+                    alt = val
+        elif local == "sp":
+            in_shape = True
+            shape_depth = 1
+            ph = None
+            shape_paragraphs = []
+        elif local == "graphicFrame":
+            in_frame = True
+            frame_depth = 1
+        elif local == "pic":
+            in_pic = True
+            pic_depth = 1
+            blip = None
+            alt = None
+        elif local == "grpSp":
+            group_depth += 1
 
     def text(data):
-        if st["in_shape"] and st["in_text"] and st["in_run"]:
-            st["paragraph"].append(data)
-        elif st["in_frame"] and st["in_cell_t"] and st["in_cell_r"]:
-            st["cell"].append(data)
+        if in_shape and in_text and in_run:
+            paragraph.append(data)
+        elif in_frame and in_cell_t and in_cell_r:
+            cell.append(data)
 
-    def end(local):
-        if st["in_shape"]:
-            st["shape_depth"] -= 1
+    def end(name):
+        nonlocal in_shape, in_frame, in_pic, ph, shape_depth, frame_depth, \
+            pic_depth, group_depth, in_text_body, in_paragraph, in_run, \
+            in_text, paragraph, shape_paragraphs, in_table, in_tr, in_tc, \
+            table_rows, row, cell, in_cell_p, in_cell_r, in_cell_t, blip, alt
+        try:
+            local = local_names[name]
+        except KeyError:
+            local = local_names[name] = name[name.rfind(":") + 1:]
+        if in_shape:
+            shape_depth -= 1
             if local == "t":
-                st["in_text"] = False
+                in_text = False
             elif local == "r":
-                st["in_run"] = False
-                st["in_text"] = False
-            elif local == "p" and st["in_paragraph"]:
-                para = "".join(st["paragraph"])
+                in_run = False
+                in_text = False
+            elif local == "p" and in_paragraph:
+                para = "".join(paragraph)
                 if para:
-                    st["shape_paragraphs"].append(para)
-                st["paragraph"] = []
-                st["in_paragraph"] = False
+                    shape_paragraphs.append(para)
+                paragraph = []
+                in_paragraph = False
             elif local == "txBody":
-                st["in_text_body"] = False
-            if st["shape_depth"] == 0:
-                content = _finalize_shape(st["ph"], st["shape_paragraphs"])
+                in_text_body = False
+            if shape_depth == 0:
+                content = _finalize_shape(ph, shape_paragraphs)
                 if content is not None:
                     shapes.append(content)
-                st["in_shape"] = False
-                st["ph"] = None
-                st["shape_paragraphs"] = []
-                st["in_text_body"] = False
-                st["in_paragraph"] = False
-                st["in_run"] = False
-                st["in_text"] = False
-        elif st["in_frame"]:
-            st["frame_depth"] -= 1
-            if local == "t" and st["in_tc"]:
-                st["in_cell_t"] = False
-            elif local == "r" and st["in_tc"]:
-                st["in_cell_r"] = False
-                st["in_cell_t"] = False
-            elif local == "p" and st["in_cell_p"]:
-                st["in_cell_p"] = False
-            elif local == "tc" and st["in_tc"]:
-                st["row"].append("".join(st["cell"]).strip())
-                st["cell"] = []
-                st["in_tc"] = False
-                st["in_cell_p"] = False
-                st["in_cell_r"] = False
-                st["in_cell_t"] = False
-            elif local == "tr" and st["in_tr"]:
-                st["table_rows"].append(st["row"])
-                st["row"] = []
-                st["in_tr"] = False
-            elif local == "tbl" and st["in_table"]:
-                rows = st["table_rows"]
-                if rows:
-                    shapes.append(("table", rows[0], rows[1:]))
-                st["table_rows"] = []
-                st["in_table"] = False
-            if st["frame_depth"] == 0:
-                st["in_frame"] = False
-                st["in_table"] = False
-                st["in_tr"] = False
-                st["in_tc"] = False
-                st["in_cell_p"] = False
-                st["in_cell_r"] = False
-                st["in_cell_t"] = False
-        elif st["in_pic"]:
-            st["pic_depth"] -= 1
-            if st["pic_depth"] == 0:
-                if st["blip"] is not None:
-                    shapes.append(("image", st["blip"], st["alt"]))
-                    st["blip"] = None
-                st["in_pic"] = False
-                st["alt"] = None
-        elif local == "grpSp" and st["group_depth"] > 0:
-            st["group_depth"] -= 1
+                in_shape = False
+                ph = None
+                shape_paragraphs = []
+                in_text_body = False
+                in_paragraph = False
+                in_run = False
+                in_text = False
+        elif in_frame:
+            frame_depth -= 1
+            if local == "t" and in_tc:
+                in_cell_t = False
+            elif local == "r" and in_tc:
+                in_cell_r = False
+                in_cell_t = False
+            elif local == "p" and in_cell_p:
+                in_cell_p = False
+            elif local == "tc" and in_tc:
+                row.append("".join(cell).strip())
+                cell = []
+                in_tc = False
+                in_cell_p = False
+                in_cell_r = False
+                in_cell_t = False
+            elif local == "tr" and in_tr:
+                table_rows.append(row)
+                row = []
+                in_tr = False
+            elif local == "tbl" and in_table:
+                if table_rows:
+                    shapes.append(("table", table_rows[0], table_rows[1:]))
+                table_rows = []
+                in_table = False
+            if frame_depth == 0:
+                in_frame = False
+                in_table = False
+                in_tr = False
+                in_tc = False
+                in_cell_p = False
+                in_cell_r = False
+                in_cell_t = False
+        elif in_pic:
+            pic_depth -= 1
+            if pic_depth == 0:
+                if blip is not None:
+                    shapes.append(("image", blip, alt))
+                    blip = None
+                in_pic = False
+                alt = None
+        elif local == "grpSp" and group_depth > 0:
+            group_depth -= 1
 
-    parse_xml_events(xml, start, end, text)
+    parse_xml_events_raw(xml, start, end, text)
     return shapes, warnings
 
 
