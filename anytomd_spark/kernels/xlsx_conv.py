@@ -18,8 +18,7 @@ import re
 
 from anytomd_spark.kernels.decode import MALFORMED_SEGMENT, SKIPPED_ELEMENT, warning
 from anytomd_spark.kernels.markdown import (
-    build_table,
-    build_table_plain,
+    escape_cell,
     format_heading,
 )
 from anytomd_spark.kernels.ooxml import (
@@ -75,7 +74,9 @@ def format_float(f: float) -> str:
 def excel_serial_to_datetime(serial: float) -> _dt.datetime | None:
     """1900 date system; serial 1 = 1900-01-01 (base 1899-12-30 after the
     Lotus leap bug for serials >= 60, matching calamine's as_datetime)."""
-    if serial < 0:
+    # NaN/inf serials: int() would raise (found by the fast-scan
+    # Hypothesis battery); treat as non-dates -> format_float fallback
+    if serial < 0 or serial != serial or serial == float("inf"):
         return None
     base = _dt.datetime(1899, 12, 30)
     if serial < 60:
@@ -775,19 +776,30 @@ def convert_xlsx(
                     f"{name}!{col_letter(c - min_col)}{r - min_row + 1}",
                 ))
 
-            grid: list[list[str]] = []
+            # fused grid walk + render: one pass over the bounding box
+            # emitting both tables, instead of materializing a row-list
+            # grid and iterating it twice (build_table /
+            # build_table_plain). Output is byte-identical to those
+            # emitters for the equal-width rows a bounding box yields
+            # (padding/truncation is a no-op); locked by the goldens and
+            # test_xlsx_fast_scan's integration check.
             get = cells.get
             empty = ""
+            cols = range(min_col, max_col + 1)
+            md_parts: list[str] = []
+            plain_parts: list[str] = []
             for r in range(min_row, max_row + 1):
                 base = r << 32
-                grid.append([
-                    get(base | c, empty)
-                    for c in range(min_col, max_col + 1)
-                ])
-
-            headers, data_rows = grid[0], grid[1:]
-            section = format_heading(2, name) + build_table(headers, data_rows)
-            plain_section = f"{name}\n" + build_table_plain(headers, data_rows)
+                vals = [get(base | c, empty) for c in cols]
+                md_parts.append(
+                    "| " + " | ".join(escape_cell(v) for v in vals) + " |\n"
+                )
+                plain_parts.append("\t".join(vals))
+                plain_parts.append("\n")
+                if r == min_row:
+                    md_parts.append("|" + "---|" * len(vals) + "\n")
+            section = format_heading(2, name) + "".join(md_parts)
+            plain_section = f"{name}\n" + "".join(plain_parts)
 
             if need_image_bytes:
                 image_lines: list[str] = []
