@@ -367,3 +367,69 @@ class TestNewKernelsNeverPanic:
             parse_warc(b"WARC/1.0\r\n" + data)
         except WarcError:
             pass
+
+
+class TestOoxmlWalkerSoup:
+    """The rewritten nonlocal-scalar slide/document walkers must be total
+    over arbitrary element soup: random nesting of handled and unhandled
+    elements, mismatched closes, stray text — never an exception, always
+    the documented return shapes."""
+
+    _PPTX_PARTS = (
+        "<p:sp>", "</p:sp>", "<p:graphicFrame>", "</p:graphicFrame>",
+        "<p:pic>", "</p:pic>", "<p:grpSp>", "</p:grpSp>",
+        "<p:txBody>", "</p:txBody>", "<a:p>", "</a:p>", "<a:r>", "</a:r>",
+        "<a:t>", "</a:t>", "<a:br/>", '<p:ph type="title"/>',
+        '<p:ph type="body"/>', "<a:tbl>", "</a:tbl>", "<a:tr>", "</a:tr>",
+        "<a:tc>", "</a:tc>", '<a:blip r:embed="rId9"/>',
+        '<p:cNvPr descr="alt text"/>', "text run", "&amp;", "\n",
+    )
+
+    @given(st.lists(st.sampled_from(_PPTX_PARTS), max_size=30))
+    @settings(max_examples=200, deadline=2000)
+    def test_parse_slide_total(self, parts):
+        from anytomd_spark.kernels.pptx_conv import parse_slide
+        from anytomd_spark.transcripts import _P_NS
+
+        xml = (
+            f'<?xml version="1.0"?><p:sld {_P_NS}><p:cSld><p:spTree>'
+            f"{''.join(parts)}</p:spTree></p:cSld></p:sld>"
+        )
+        shapes, warnings = parse_slide(xml)
+        for shape in shapes:
+            assert shape[0] in ("title", "body", "table", "image")
+
+    _DOCX_PARTS = (
+        "<w:p>", "</w:p>", "<w:r>", "</w:r>", "<w:t>", "</w:t>",
+        "<w:tbl>", "</w:tbl>", "<w:tr>", "</w:tr>", "<w:tc>", "</w:tc>",
+        "<w:pPr>", "</w:pPr>", '<w:pStyle w:val="Heading1"/>',
+        "<w:hyperlink>", "</w:hyperlink>", "<w:br/>", "<w:b/>", "<w:i/>",
+        "<mc:AlternateContent>", "</mc:AlternateContent>",
+        "<mc:Choice>", "</mc:Choice>", "<mc:Fallback>", "</mc:Fallback>",
+        "<w:pict>", "</w:pict>", "<w:txbxContent>", "</w:txbxContent>",
+        "<w:drawing>", "</w:drawing>", "body text", "&lt;", "\n",
+    )
+
+    @given(st.lists(st.sampled_from(_DOCX_PARTS), max_size=30))
+    @settings(max_examples=200, deadline=2000)
+    def test_docx_body_total(self, parts):
+        import io
+        import zipfile
+
+        from anytomd_spark.kernels.docx_conv import convert_docx
+        from anytomd_spark.transcripts import _RELS_NS, _W
+
+        document = (
+            f'<?xml version="1.0"?><w:document {_W} '
+            'xmlns:mc="http://schemas.openxmlformats.org/markup-'
+            'compatibility/2006">'
+            f"<w:body>{''.join(parts)}</w:body></w:document>"
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("word/document.xml", document)
+            zf.writestr("word/_rels/document.xml.rels",
+                        f"<Relationships {_RELS_NS}/>")
+        out = convert_docx(buf.getvalue())
+        assert isinstance(out["markdown"], str)
+        assert isinstance(out["plain_text"], str)
