@@ -19,6 +19,11 @@ budget, kernels/ooxml.py:validate_zip_budget): a member's DECLARED size
 — tar header ``m.size``, zip central-directory ``file_size`` — is
 checked against ``max_member_bytes`` BEFORE any decompression, so one
 crafted multi-GiB-inflating member becomes an error row, never an OOM.
+Zip and plain tar additionally SEEK past a rejected member (no
+decompression CPU at all); a COMPRESSED tar cannot seek — reaching the
+next header would stream-decompress the whole oversized body — so an
+over-budget member in a .tar.gz aborts the remainder of that shard with
+an explicit error row rather than paying a decompression-CPU DoS.
 
 Member format resolution mirrors the reference's detection priority
 (``/root/reference/src/detection.rs:18-48``): the filename extension
@@ -97,13 +102,21 @@ def tar_extract(
     """One row per regular archive member: (shard_id, member, fmt,
     n_bytes, n_warnings, markdown, error). Members whose tar header
     declares more than ``max_member_bytes`` are rejected as error rows
-    WITHOUT being read."""
+    WITHOUT being read; in a COMPRESSED shard (gz/bz2/xz, where merely
+    skipping would decompress the oversized body) the rejection also
+    aborts the remaining members with an explicit error row."""
 
     def run(iterator):
         for pdf in iterator:
             rows = []
             for shard_id, payload in zip(pdf[shard_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
+                # plain tar on a seekable buffer SEEKS past a skipped
+                # member; gz/bz2/xz must stream-decompress the body to
+                # reach the next header, so an over-budget member there
+                # aborts the shard (decompression-CPU DoS guard)
+                compressed = (data[:2] == b"\x1f\x8b" or data[:3] == b"BZh"
+                              or data[:6] == b"\xfd7zXZ\x00")
                 try:
                     tf = tarfile.open(fileobj=io.BytesIO(data), mode="r:*")
                 except (tarfile.TarError, EOFError, OSError) as e:
@@ -127,6 +140,13 @@ def tar_extract(
                                          int(m.size), None, None,
                                          f"member size {m.size} exceeds "
                                          f"budget {max_member_bytes}"))
+                            if compressed:
+                                rows.append((int(shard_id), None, None,
+                                             None, None, None,
+                                             "compressed shard aborted "
+                                             "after oversized member "
+                                             f"{m.name}"))
+                                break
                             continue
                         try:
                             body = tf.extractfile(m).read()
@@ -178,7 +198,12 @@ def zip_extract(
                                          f"{max_member_bytes}"))
                             continue
                         try:
-                            body = zf.read(zi.filename)
+                            # read by ZipInfo, not name: duplicate member
+                            # names resolve by-name to the LAST entry,
+                            # which would both mis-attribute content and
+                            # let a small-declared first entry smuggle an
+                            # over-budget last entry past the size check
+                            body = zf.read(zi)
                         except (zipfile.BadZipFile, RuntimeError,
                                 NotImplementedError, OSError) as e:
                             rows.append((int(shard_id), zi.filename, None,

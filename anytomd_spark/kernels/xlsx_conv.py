@@ -103,7 +103,13 @@ def _format_datetime(serial: float) -> str:
 
 
 def parse_shared_strings(xml: str) -> list[str]:
-    """sharedStrings.xml -> list of strings (rich-text runs concatenated)."""
+    """sharedStrings.xml -> list of strings (rich-text runs concatenated).
+
+    Deliberately expat-only: a worksheet-style single-regex fast scan
+    was built and interleaved-A/B'd at 0.81x (sst has ~5 expat events
+    per string vs ~8+attr-dicts per sheet row, so the guard battery +
+    120k match objects cost more than the callbacks they remove) —
+    see PLANS.md round-6 negative result."""
     strings: list[str] = []
     st = {"in_si": False, "in_t": False, "parts": [], "in_rph": 0}
 
@@ -200,15 +206,28 @@ _ATTRS = r'((?:\s+[A-Za-z_][\w:.-]*="[^"<>]*")*)\s*'
 # Groups: 1 "row" literal | 2 row r | 3 row leftover ||
 #         4 cell r | 5 cell s | 6 cell t | 7 cell leftover | 8 body
 _SHEET_TOKEN = re.compile(
-    r'<(row)(?: r="([0-9]{1,7})")?'
+    r'<(row)(?:\s+r="([0-9]{1,7})")?'
     rf"{_ATTRS}/?>"
-    r'|<c(?: r="([A-Z]{1,3}[0-9]{1,7})")?'
-    r'(?: s="([0-9]+)")?(?: t="([a-zA-Z]+)")?'
+    r'|<c(?:\s+r="([A-Z]{1,3}[0-9]{1,7})")?'
+    r'(?:\s+s="([0-9]+)")?(?:\s+t="([a-zA-Z]+)")?'
     rf"{_ATTRS}(?:/>|>(.*?)</c\s*>)",
     re.DOTALL,
 )
+# any-whitespace-separated r/s/t attr in a leftover group (XML allows
+# tab/newline separators, not just a single space). May false-positive
+# on a value containing ' r="'-ish text — that only routes the cell to
+# the generic path, where _attr_value's structural parse is exact.
+_LEFTOVER_RST = re.compile(r'\s[rst]="')
+# one attribute pair as _ATTRS captured it: leftover is exactly a
+# concatenation of these, so finditer cannot desync into a value
+_ATTR_PAIR = re.compile(r'\s+([A-Za-z_][\w:.-]*)="([^"<>]*)"')
 _T_INNER = re.compile(rf"<t{_ATTRS}(?:/>|>(.*?)</t\s*>)", re.DOTALL)
 _V_INNER = re.compile(rf"<v{_ATTRS}(?:/>|>(.*?)</v\s*>)", re.DOTALL)
+
+# the fast scan only engages above this size: the fixed guard scans +
+# well-formedness parse don't amortize on small parts (measured ~5%
+# slower at ~1 KB, 1.35x faster at 10 MB)
+_FAST_SCAN_MIN_BYTES = 65536
 
 _ENT = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
 _ENT_RE = re.compile(r"&(?:(amp|lt|gt|quot|apos)|#(?:x([0-9a-fA-F]+)|([0-9]+)));")
@@ -234,20 +253,23 @@ def _ent_repl(m: re.Match) -> str:
     return chr(int(m.group(3)))
 
 
-def _attr_value(attrs_s: str, marker: str) -> str | None:
-    """Extract a double-quoted attribute (marker like ' r=\"'), with
-    expat's attribute-value normalization (literal whitespace -> space,
-    charref whitespace kept literally: normalize then decode)."""
-    i = attrs_s.find(marker)
-    if i < 0:
-        return None
-    j = i + len(marker)
-    val = attrs_s[j:attrs_s.index('"', j)]
-    if "\r" in val or "\n" in val or "\t" in val:
-        val = val.replace("\r", " ").replace("\n", " ").replace("\t", " ")
-    if "&" in val:
-        val = _ENT_RE.sub(_ent_repl, val)
-    return val
+def _attr_value(attrs_s: str, name: str) -> str | None:
+    """Extract a double-quoted attribute by name from an _ATTRS-captured
+    leftover group (attribute pairs separated by any XML whitespace),
+    with expat's attribute-value normalization (literal whitespace ->
+    space, charref whitespace kept literally: normalize then decode).
+    Walks the pair structure rather than substring-searching, so a value
+    that CONTAINS ``r="``-like text can never be misread as the attr."""
+    for m in _ATTR_PAIR.finditer(attrs_s):
+        if m.group(1) != name:
+            continue
+        val = m.group(2)
+        if "\r" in val or "\n" in val or "\t" in val:
+            val = val.replace("\r", " ").replace("\n", " ").replace("\t", " ")
+        if "&" in val:
+            val = _ENT_RE.sub(_ent_repl, val)
+        return val
+    return None
 
 
 def _fast_sheet_cells(
@@ -286,16 +308,13 @@ def _fast_sheet_cells(
             r = g(2)
             if r is None:
                 leftover = g(3)
-                if leftover and ' r="' in leftover:
-                    r = _attr_value(leftover, ' r="')
-                    row = (
-                        int(r) - 1
-                        if r and r.isdigit() and len(r) <= 7
-                        and 0 < int(r) <= 1048576
-                        else row + 1
-                    )
-                else:
-                    row += 1
+                r = _attr_value(leftover, "r") if leftover else None
+                row = (
+                    int(r) - 1
+                    if r and r.isdigit() and len(r) <= 7
+                    and 0 < int(r) <= 1048576
+                    else row + 1
+                )
             else:  # regex-guaranteed 1-7 digits
                 ri = int(r)
                 row = ri - 1 if 0 < ri <= 1048576 else row + 1
@@ -303,13 +322,11 @@ def _fast_sheet_cells(
             continue
         seen_cells += 1
         ref, sref, t, leftover, body = g(4, 5, 6, 7, 8)
-        if leftover and (
-            ' r="' in leftover or ' s="' in leftover or ' t="' in leftover
-        ):
+        if leftover and _LEFTOVER_RST.search(leftover):
             # nonstandard attribute order / value: generic extraction for
             # whichever of r/s/t the positional groups missed
             if ref is None:
-                ref = _attr_value(leftover, ' r="')
+                ref = _attr_value(leftover, "r")
                 if ref:
                     rm = cell_ref_match(ref)
                     if rm and len(rm.group(1)) <= 3 and len(rm.group(2)) <= 7:
@@ -323,11 +340,11 @@ def _fast_sheet_cells(
                 col = _col_index(ref.rstrip("0123456789"))
                 row = int(ref.lstrip("ABCDEFGHIJKLMNOPQRSTUVWXYZ")) - 1
             if sref is None:
-                sref = _attr_value(leftover, ' s="')
+                sref = _attr_value(leftover, "s")
                 if sref is not None and not sref.isdigit():
                     sref = None
             if t is None:
-                t = _attr_value(leftover, ' t="')
+                t = _attr_value(leftover, "t")
         elif ref is not None:
             # regex-guaranteed [A-Z]{1,3}[0-9]{1,7}: split at the first digit
             if "A" <= ref[1] <= "Z":
@@ -452,7 +469,7 @@ def parse_sheet_cells(
     # Below ~64 KB the expat callback cost is small and the fast scan's
     # fixed costs (guard scans + validation parse) don't amortize —
     # measured ~5% SLOWER on ~1 KB corpus sheets, 1.35x faster at 10 MB
-    if len(xml) >= 65536:
+    if len(xml) >= _FAST_SCAN_MIN_BYTES:
         fast = _fast_sheet_cells(xml, shared, date_styles)
         if fast is not None:
             return fast

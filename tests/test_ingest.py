@@ -290,3 +290,82 @@ class TestZipExtraction:
         b = zip_shard_payloads(3, 7)
         for x, y in zip(a, b):
             assert x["payload"] == y["payload"]
+
+
+class TestUntrustedShardEdges:
+    """Round-6 review findings: duplicate zip member names and the
+    compressed-tar skip cost (both reproduced before fixing)."""
+
+    def test_zip_duplicate_names_read_exact_entries(self, spark):
+        # zipfile's by-name lookup resolves to the LAST entry; reading
+        # by ZipInfo must attribute each row its OWN member's bytes
+        import warnings
+
+        from anytomd_spark.analysis.ingest import build_zip, zip_extract
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)  # dup-name warn
+            z = build_zip([("a.txt", b"first"), ("a.txt", b"second-longer")])
+        out = sorted(zip_extract(_shards_df(spark, [(0, z)])).collect(),
+                     key=lambda r: r["n_bytes"])
+        assert [r["n_bytes"] for r in out] == [5, 13]
+        assert "first" in out[0]["markdown"]
+        assert "second-longer" in out[1]["markdown"]
+
+    def test_zip_duplicate_name_cannot_smuggle_oversized_entry(self, spark):
+        # review repro: small first entry passes the budget check; a
+        # by-name read would then inflate the oversized LAST entry
+        import warnings
+
+        from anytomd_spark.analysis.ingest import build_zip, zip_extract
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            z = build_zip([("a.txt", b"tiny"), ("a.txt", b"\x00" * (8 << 20))])
+        out = zip_extract(_shards_df(spark, [(0, z)]),
+                          max_member_bytes=1 << 20).collect()
+        ok = [r for r in out if r["error"] is None]
+        err = [r for r in out if r["error"] is not None]
+        assert len(ok) == 1 and ok[0]["n_bytes"] == 4
+        assert "tiny" in ok[0]["markdown"]
+        assert len(err) == 1 and "exceeds budget" in err[0]["error"]
+
+    def test_targz_oversized_member_aborts_shard(self, spark):
+        # a compressed tar cannot seek past a member; skipping would
+        # decompress the oversized body, so the shard aborts instead
+        tar = build_tar([("ok.txt", b"fine"),
+                         ("big.txt", b"\x00" * 5000),
+                         ("after.txt", b"never reached")], gzipped=True)
+        out = tar_extract(_shards_df(spark, [(0, tar)]),
+                          max_member_bytes=1000).collect()
+        by_member = {r["member"]: r for r in out}
+        assert by_member["ok.txt"]["error"] is None
+        assert "exceeds budget" in by_member["big.txt"]["error"]
+        assert "after.txt" not in by_member
+        assert any(r["error"] and "aborted" in r["error"] for r in out)
+
+    def test_targz_bomb_rejected_without_decompression(self, spark):
+        # 256 MiB of zeros gzips to ~256 KiB; the declared-size check
+        # plus shard abort must reject it without gunzipping the body
+        import time
+
+        tar = build_tar([("zeros.bin", b"\x00" * (256 << 20)),
+                         ("tail.txt", b"x")], gzipped=True)
+        assert len(tar) < (4 << 20)
+        df = _shards_df(spark, [(0, tar)])
+        t0 = time.time()
+        out = tar_extract(df, max_member_bytes=64 << 20).collect()
+        elapsed = time.time() - t0
+        errs = [r["error"] for r in out if r["error"]]
+        assert any("exceeds budget" in e for e in errs)
+        assert any("aborted" in e for e in errs)
+        assert elapsed < 10, f"tar.gz bomb reject took {elapsed:.1f}s"
+
+    def test_plain_tar_oversized_member_still_continues(self, spark):
+        # uncompressed tar seeks past the rejected member: later
+        # members must still convert (no abort on the seekable path)
+        tar = build_tar([("big.txt", b"\x00" * 5000), ("after.txt", b"ok")])
+        out = {r["member"]: r for r in tar_extract(
+            _shards_df(spark, [(0, tar)]), max_member_bytes=1000).collect()}
+        assert "exceeds budget" in out["big.txt"]["error"]
+        assert out["after.txt"]["error"] is None

@@ -294,3 +294,126 @@ class TestSoupDifferential:
                             f"<v>{val}</v></c>")
         xml = sheet("".join(body))
         check(xml, shared=["s0", "s1"], date_styles={3})
+
+
+class TestWhitespaceAttrSeparators:
+    """XML allows any whitespace run (tab/newline/CR) between
+    attributes and pretty-printing writers emit them; round-6 review
+    found the positional captures and leftover markers required a
+    single literal space, silently misreading such sheets."""
+
+    def test_tab_before_type_attr(self):
+        out = check(sheet('<row r="1"><c\tt="s"><v>1</v></c></row>'),
+                    shared=["s0", "s1"], expect_fast=True)
+        assert out[0][0] == "s1"
+
+    def test_newline_separated_refs(self):
+        out = check(sheet('<row\nr="7"><c\nr="B7"><v>42</v></c></row>'),
+                    expect_fast=True)
+        assert out[0][(6 << 32) | 1] == "42"
+
+    @pytest.mark.parametrize("ws", ["\t", "\n", "\t\n ", " \t"])
+    def test_every_attr_position(self, ws):
+        out = check(sheet(
+            f'<row{ws}r="2"><c{ws}r="A2"{ws}s="3"{ws}t="s"><v>0</v></c>'
+            f'<c{ws}t="inlineStr"{ws}r="C2"><is><t>inl</t></is></c></row>'
+        ), shared=["hit"], date_styles={3}, expect_fast=True)
+        assert out[0][(1 << 32) | 0] == "hit"
+        assert out[0][(1 << 32) | 2] == "inl"
+
+    def test_leftover_attrs_whitespace_separated(self):
+        # out-of-order AND tab/newline separated: the generic
+        # _attr_value path must find r/s/t through any separator
+        out = check(sheet(
+            '<row spans="1:2"\tr="3"><c\tt="s"\nr="A3"><v>0</v></c></row>'
+        ), shared=["hit"], expect_fast=True)
+        assert out[0][(2 << 32) | 0] == "hit"
+
+    def test_value_containing_attr_lookalike(self):
+        # an attribute VALUE containing ' r="' must not be misread as
+        # the r attribute (structural pair walk, not substring search)
+        out = check(sheet(
+            '<row r="1"><c ph="x r=" t="s" r="B1"><v>0</v></c></row>'
+        ), shared=["v0"], expect_fast=True)
+        assert out[0][1] == "v0"
+
+    def test_error_cells_with_tab_separator(self):
+        # t="e" behind a tab: errors map must populate identically
+        check(sheet('<row r="1"><c\tt="e"><v>#DIV/0!</v></c></row>'),
+              expect_fast=True)
+
+    @given(st.lists(st.sampled_from([" ", "\t", "\n", " \t", "\n  "]),
+                    min_size=4, max_size=4))
+    @settings(max_examples=60, deadline=2000)
+    def test_separator_soup(self, seps):
+        a, b, c, d = seps
+        xml = sheet(
+            f'<row{a}r="1"><c{b}r="A1"{c}t="s"><v>1</v></c>'
+            f'<c{d}s="0"><v>45000</v></c></row>'
+        )
+        out = check(xml, shared=["s0", "s1"], date_styles={0},
+                    expect_fast=True)
+        assert out[0][0] == "s1"
+
+
+_SST_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+
+
+def sst(body: str, ns: str = _SST_NS) -> str:
+    return f'<?xml version="1.0"?><sst {ns}>{body}</sst>'
+
+
+class TestSharedStringsSemantics:
+    """parse_shared_strings is deliberately expat-only (a single-regex
+    fast path measured 0.81x — PLANS.md round-6 negative result); these
+    pin the semantics that experiment's differential battery exercised:
+    phonetic-run exclusion, rich-run concatenation, entity decoding."""
+
+    def test_plain_strings(self):
+        assert X.parse_shared_strings(
+            sst("<si><t>alpha</t></si><si><t>beta</t></si>")
+        ) == ["alpha", "beta"]
+
+    def test_rich_text_runs_concatenate(self):
+        assert X.parse_shared_strings(sst(
+            "<si><r><rPr><b/></rPr><t>bold</t></r><r><t> tail</t></r></si>"
+        )) == ["bold tail"]
+
+    def test_entities_charrefs_and_crlf(self):
+        out = X.parse_shared_strings(sst(
+            "<si><t>a&amp;b&#xE9;&#233;</t></si>"
+            "<si><t>line1&#13;&#10;line2</t></si>"
+        ))
+        assert out[0] == "a&b\xe9\xe9"
+        assert out[1] == "line1\r\nline2"
+
+    def test_space_preserve_empty_t_and_empty_si(self):
+        assert X.parse_shared_strings(sst(
+            '<si><t xml:space="preserve"> padded </t></si>'
+            "<si><t/></si><si/>"
+        )) == [" padded ", "", ""]
+
+    def test_phonetic_runs_excluded(self):
+        # rPh furigana and phoneticPr must not leak into the string
+        assert X.parse_shared_strings(sst(
+            '<si><t>\u6f22\u5b57</t><rPh sb="0" eb="2">'
+            '<t>\u304b\u3093\u3058</t></rPh>'
+            '<phoneticPr fontId="1"/></si>'
+        )) == ["\u6f22\u5b57"]
+
+    def test_text_outside_t_ignored(self):
+        assert X.parse_shared_strings(
+            sst("<si>stray<t>kept</t>stray2</si>")
+        ) == ["kept"]
+
+    def test_malformed_truncates_at_error(self):
+        # expat silent-truncation semantics (xlsx.rs Err(_) => break)
+        assert X.parse_shared_strings(
+            '<?xml version="1.0"?><sst><si><t>ok</t></si><si><t>bad'
+        ) == ["ok"]
+
+    def test_prefixed_elements_still_parse(self):
+        assert X.parse_shared_strings(
+            '<?xml version="1.0"?><x:sst xmlns:x="urn:x">'
+            "<x:si><x:t>x</x:t></x:si></x:sst>"
+        ) == ["x"]
