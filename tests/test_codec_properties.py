@@ -6,6 +6,12 @@ padding-boundary widths, tiny/odd sample counts)."""
 import numpy as np
 import pytest
 
+import os as _os
+
+# deep-fuzz knob: SPARK_GRAFT_FUZZ_MULT=50 multiplies every
+# max_examples for long background fuzz runs (default 1)
+_FUZZ_MULT = int(_os.environ.get("SPARK_GRAFT_FUZZ_MULT", "1"))
+
 hypothesis = pytest.importorskip("hypothesis")
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
@@ -13,7 +19,7 @@ from hypothesis import strategies as st  # noqa: E402
 from anytomd_spark.kernels import bmp, flac, png, tiff, wav, webp  # noqa: E402
 
 _SETTINGS = dict(
-    max_examples=40,
+    max_examples=40 * _FUZZ_MULT,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )

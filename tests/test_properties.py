@@ -5,6 +5,12 @@ guarantees hold for arbitrary input."""
 
 from __future__ import annotations
 
+import os as _os
+
+# deep-fuzz knob: SPARK_GRAFT_FUZZ_MULT=50 multiplies every
+# max_examples for long background fuzz runs (default 1)
+_FUZZ_MULT = int(_os.environ.get("SPARK_GRAFT_FUZZ_MULT", "1"))
+
 import json
 
 import pytest
@@ -42,7 +48,7 @@ class TestByteSize:
             byte_size(bad)
 
     @given(st.text(max_size=40))
-    @settings(max_examples=300)
+    @settings(max_examples=300 * _FUZZ_MULT)
     def test_never_panics(self, s):
         try:
             result = byte_size(s)
@@ -52,7 +58,7 @@ class TestByteSize:
 
     @given(st.integers(min_value=1, max_value=10**12),
            st.sampled_from(["", "b", "kb", "kib", "mb", "mib", "gb", "gib"]))
-    @settings(max_examples=200)
+    @settings(max_examples=200 * _FUZZ_MULT)
     def test_valid_round_trips(self, n, suffix):
         mult = {"": 1, "b": 1, "kb": 10**3, "kib": 2**10, "mb": 10**6,
                 "mib": 2**20, "gb": 10**9, "gib": 2**30}[suffix]
@@ -63,7 +69,7 @@ class TestByteSize:
 
 class TestEmitterInvariants:
     @given(st.text(max_size=80))
-    @settings(max_examples=200)
+    @settings(max_examples=200 * _FUZZ_MULT)
     def test_escape_cell_single_line_no_bare_pipes(self, s):
         out = escape_cell(s)
         assert "\n" not in out and "\r" not in out
@@ -78,7 +84,7 @@ class TestEmitterInvariants:
 
     @given(st.lists(st.text(max_size=10), min_size=1, max_size=5),
            st.lists(st.lists(st.text(max_size=10), max_size=7), max_size=5))
-    @settings(max_examples=100)
+    @settings(max_examples=100 * _FUZZ_MULT)
     def test_build_table_shape(self, headers, rows):
         out = build_table(headers, rows)
         # NB: str.splitlines also splits on \x1c-\x1e/\x85/U+2028 — table
@@ -98,21 +104,21 @@ class TestEmitterInvariants:
 
 class TestConverterInvariants:
     @given(st.text(max_size=300))
-    @settings(max_examples=150)
+    @settings(max_examples=150 * _FUZZ_MULT)
     def test_plain_text_identity(self, s):
         out = convert_plain_text(s.encode("utf-8"))
         expect = s[1:] if s.startswith("﻿") else s
         assert out["markdown"] == expect
 
     @given(st.text(max_size=200))
-    @settings(max_examples=150)
+    @settings(max_examples=150 * _FUZZ_MULT)
     def test_code_fence_shape(self, s):
         out = convert_code(s.encode("utf-8"), "py")
         assert out["markdown"].startswith("```python\n")
         assert out["markdown"].endswith("\n```\n")
 
     @given(st.text(max_size=150))
-    @settings(max_examples=100)
+    @settings(max_examples=100 * _FUZZ_MULT)
     def test_csv_never_panics(self, s):
         try:
             out = convert_csv(s.encode("utf-8"))
@@ -127,7 +133,7 @@ class TestConverterInvariants:
         | st.dictionaries(st.text(max_size=6), children, max_size=3),
         max_leaves=8,
     ))
-    @settings(max_examples=150)
+    @settings(max_examples=150 * _FUZZ_MULT)
     def test_json_roundtrip_sorted(self, value):
         payload = json.dumps(value).encode("utf-8")
         out = convert_json(payload)
@@ -135,7 +141,7 @@ class TestConverterInvariants:
         assert json.loads(body) == value
 
     @given(st.text(max_size=300))
-    @settings(max_examples=100, deadline=1000)
+    @settings(max_examples=100 * _FUZZ_MULT, deadline=1000)
     def test_html_never_panics(self, s):
         out = convert_html(s.encode("utf-8"))
         md = out["markdown"]
@@ -163,7 +169,7 @@ class TestFastTokenizerDifferential:
         assert convert_html(data, fast=True) == convert_html(data, fast=False)
 
     @given(st.text(max_size=200))
-    @settings(max_examples=150, deadline=2000)
+    @settings(max_examples=150 * _FUZZ_MULT, deadline=2000)
     def test_fast_never_panics(self, s):
         out = convert_html(s.encode("utf-8"), fast=True)
         assert out["markdown"] == "" or out["markdown"].endswith("\n")
@@ -189,7 +195,7 @@ class TestFastTokenizerDifferential:
         ),
         max_size=40,
     ))
-    @settings(max_examples=300, deadline=5000)
+    @settings(max_examples=300 * _FUZZ_MULT, deadline=5000)
     def test_fast_tag_soup_differential(self, parts):
         data = "".join(parts).encode("utf-8")
         assert convert_html(data, fast=True) == convert_html(
@@ -242,7 +248,7 @@ class TestWinnowBitParity:
         return int(__import__("numpy").bitwise_xor.reduce(mins))
 
     @given(st.text(max_size=300))
-    @settings(max_examples=300, deadline=None)
+    @settings(max_examples=300 * _FUZZ_MULT, deadline=None)
     def test_parity(self, text):
         assert self._fp_vectorized(text) == self._fp_reference(text)
 
@@ -259,7 +265,7 @@ class TestSimhashKernelParity:
 
     @given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
                     max_size=40))
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200 * _FUZZ_MULT, deadline=None)
     def test_parity(self, hashes):
         import pandas as pd
 
@@ -287,7 +293,7 @@ class TestNewKernelsNeverPanic:
     Mirrors the reference's never-panic proptest posture."""
 
     @given(st.binary(max_size=512))
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200 * _FUZZ_MULT, deadline=None)
     def test_png_decode_total(self, data):
         from anytomd_spark.kernels.png import MAGIC, PngError, decode_png
 
@@ -297,7 +303,7 @@ class TestNewKernelsNeverPanic:
             pass
 
     @given(st.binary(max_size=512))
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200 * _FUZZ_MULT, deadline=None)
     def test_pdf_extract_total(self, data):
         from anytomd_spark.kernels.pdf_text import (
             PdfError,
@@ -312,7 +318,7 @@ class TestNewKernelsNeverPanic:
                 pass
 
     @given(st.text(max_size=400))
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200 * _FUZZ_MULT, deadline=None)
     def test_main_content_total(self, text):
         from anytomd_spark.kernels.main_content import extract_main_content
 
@@ -324,7 +330,7 @@ class TestNewKernelsNeverPanic:
         alphabet=st.characters(min_codepoint=32, max_codepoint=126),
         max_size=40), min_size=1, max_size=4), min_size=1, max_size=3),
         st.booleans())
-    @settings(max_examples=100, deadline=None)
+    @settings(max_examples=100 * _FUZZ_MULT, deadline=None)
     def test_pdf_writer_round_trip_printable(self, pages, compress):
         from anytomd_spark.kernels.pdf_text import build_pdf, extract_pdf_text
 
@@ -339,7 +345,7 @@ class TestNewKernelsNeverPanic:
         assert out["text"].split() == expected.split()
 
     @given(st.binary(max_size=512))
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200 * _FUZZ_MULT, deadline=None)
     def test_gif_decode_total(self, data):
         from anytomd_spark.kernels.gif import GifError, decode_gif
 
@@ -349,7 +355,7 @@ class TestNewKernelsNeverPanic:
             pass
 
     @given(st.binary(max_size=512))
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200 * _FUZZ_MULT, deadline=None)
     def test_wav_decode_total(self, data):
         from anytomd_spark.kernels.wav import WavError, decode_wav
 
@@ -359,7 +365,7 @@ class TestNewKernelsNeverPanic:
             pass
 
     @given(st.binary(max_size=400))
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200 * _FUZZ_MULT, deadline=None)
     def test_warc_parse_total(self, data):
         from anytomd_spark.kernels.warc import WarcError, parse_warc
 
@@ -386,7 +392,7 @@ class TestOoxmlWalkerSoup:
     )
 
     @given(st.lists(st.sampled_from(_PPTX_PARTS), max_size=30))
-    @settings(max_examples=200, deadline=2000)
+    @settings(max_examples=200 * _FUZZ_MULT, deadline=2000)
     def test_parse_slide_total(self, parts):
         from anytomd_spark.kernels.pptx_conv import parse_slide
         from anytomd_spark.transcripts import _P_NS
@@ -411,7 +417,7 @@ class TestOoxmlWalkerSoup:
     )
 
     @given(st.lists(st.sampled_from(_DOCX_PARTS), max_size=30))
-    @settings(max_examples=200, deadline=2000)
+    @settings(max_examples=200 * _FUZZ_MULT, deadline=2000)
     def test_docx_body_total(self, parts):
         import io
         import zipfile

@@ -9,6 +9,12 @@ WHICH side of it a construct lands on, so a silent fallback regression
 
 from __future__ import annotations
 
+import os as _os
+
+# deep-fuzz knob: SPARK_GRAFT_FUZZ_MULT=50 multiplies every
+# max_examples for long background fuzz runs (default 1)
+_FUZZ_MULT = int(_os.environ.get("SPARK_GRAFT_FUZZ_MULT", "1"))
+
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -278,7 +284,7 @@ class TestSoupDifferential:
         st.sampled_from(_VALS),
         st.integers(min_value=0, max_value=9),
     ), min_size=0, max_size=12))
-    @settings(max_examples=200, deadline=2000)
+    @settings(max_examples=200 * _FUZZ_MULT, deadline=2000)
     def test_generated_sheets(self, parts):
         body = []
         for kind, t, val, n in parts:
@@ -344,7 +350,7 @@ class TestWhitespaceAttrSeparators:
 
     @given(st.lists(st.sampled_from([" ", "\t", "\n", " \t", "\n  "]),
                     min_size=4, max_size=4))
-    @settings(max_examples=60, deadline=2000)
+    @settings(max_examples=60 * _FUZZ_MULT, deadline=2000)
     def test_separator_soup(self, seps):
         a, b, c, d = seps
         xml = sheet(
