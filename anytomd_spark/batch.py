@@ -69,12 +69,20 @@ def classify_formats(text: pd.Series, tool: pd.Series) -> pd.Series:
     take_hint = fmt.isna() & hinted.notna()
     fmt[take_hint] = hinted[take_hint]
 
+    # steps 3-4 run ONLY over still-unresolved rows: hinted batches skip
+    # the (object-dtype-expensive) lstrip/lower/regex passes entirely
+    todo = fmt.isna()
+    if not todo.any():
+        return fmt
+    sub = t[todo]
+
     # 3. JSON heuristic: first non-ws char is { or [
-    head = t.str.replace("﻿", "", n=1).str.lstrip(" \t\r\n\x0b\x0c").str[:1]
-    fmt[fmt.isna() & head.isin(("{", "["))] = "json"
+    head = sub.str.replace("﻿", "", n=1).str.lstrip(" \t\r\n\x0b\x0c").str[:1]
+    fmt[head.index[head.isin(("{", "["))]] = "json"
 
     # 4. markup fallback for hint-less turns
-    low = t.str.lstrip(" \t\r\n\x0b\x0c").str[:256].str.lower()
+    sub = t[fmt.isna()]
+    low = sub.str.lstrip(" \t\r\n\x0b\x0c").str[:256].str.lower()
     html_like = (
         low.str.startswith("<!doctype html")
         | low.str.startswith("<html")
@@ -83,12 +91,75 @@ def classify_formats(text: pd.Series, tool: pd.Series) -> pd.Series:
             regex=True,
         )
     )
-    fmt[fmt.isna() & html_like] = "html"
-    xml_like = low.str.startswith("<?xml") | (
-        low.str.startswith("<") & low.str.contains(">", regex=False)
+    fmt[low.index[html_like]] = "html"
+    sub = low[~html_like]
+    xml_like = sub.str.startswith("<?xml") | (
+        sub.str.startswith("<") & sub.str.contains(">", regex=False)
     )
-    fmt[fmt.isna() & xml_like] = "xml"
+    fmt[sub.index[xml_like]] = "xml"
     return fmt
+
+
+def _convert_one(
+    payload: str,
+    row_fmt: str | None,
+    hint: str,
+    strict: bool,
+    kw: dict,
+) -> tuple:
+    """One turn -> (markdown, plain_text, title, fmt, error, n_warnings,
+    warning_codes, bytes_in, chars_out). Pure function of its arguments
+    (for fixed strict / max_input_bytes), which is what makes the
+    within-batch memoization in :func:`convert_batch` sound."""
+    if row_fmt is None:
+        return (None, None, None, None, "unsupported format",
+                0, None, len(payload.encode("utf-8")), 0)
+    data = None
+    if row_fmt == "image":
+        # image payloads may arrive base64-encoded (like the binary
+        # formats) — decode for magic-based mime sniffing if possible
+        import base64 as _b64
+        import binascii as _ba
+        try:
+            data = _b64.b64decode(payload, validate=True)
+        except (_ba.Error, ValueError):
+            data = None
+    elif row_fmt in ("zipb64", "xls") and (
+        payload.startswith("UEsDB") or payload.startswith("0M8R")
+    ):
+        data = sniff.maybe_base64_binary(payload)
+        if data is None:
+            return (None, None, None, None,
+                    "invalid base64 binary payload",
+                    0, None, len(payload.encode("utf-8")), 0)
+        if row_fmt == "zipb64":
+            row_fmt = sniff.detect_zip_format(data)
+            if row_fmt is None:
+                return (None, None, None, "zip",
+                        "unsupported format: unrecognized ZIP",
+                        0, None, len(data), 0)
+    if data is None:
+        data = payload.encode("utf-8")
+    n_bytes = len(data)
+    if row_fmt == "pdf":
+        return (None, None, None, "pdf", "unsupported format: pdf",
+                0, None, n_bytes, 0)
+    ext = row_fmt
+    if row_fmt in ("code", "txt", "image"):
+        # keep the concrete extension (language tag / image filename)
+        h = hint.strip().lstrip(".").lower()
+        if h and h != row_fmt:
+            ext = h
+    try:
+        result = convert_bytes(data, ext, strict=strict, **kw)
+    except Exception as e:  # noqa: BLE001 best-effort row semantics
+        return (None, None, None, row_fmt, f"{type(e).__name__}: {e}",
+                0, None, n_bytes, 0)
+    warns = result["warnings"]
+    return (result["markdown"], result["plain_text"], result["title"],
+            row_fmt, None, len(warns),
+            [w["code"] for w in warns] if warns else None,
+            n_bytes, len(result["markdown"]))
 
 
 def convert_batch(
@@ -118,67 +189,28 @@ def convert_batch(
     fmt_arr = fmt.to_numpy(dtype=object)
     hints_arr = tool.fillna("").astype(str).to_numpy(dtype=object)
 
+    # Within-batch content memoization: convert_bytes is a pure function
+    # of (payload, format, hint) for fixed strict/max_input_bytes, so a
+    # batch that repeats a payload (boilerplate attachments, templated
+    # documents — extremely common in real corpora) converts each
+    # distinct one ONCE. Scope is a single Arrow batch: no cross-batch
+    # state, deterministic, and the overhead when every payload is
+    # unique is one dict probe per row. Differential-locked against the
+    # unmemoized path in tests/test_chaos.py::TestBatchMemoization.
+    memo: dict[tuple, tuple] = {}
+    kw = {} if max_input_bytes is None else {
+        "max_input_bytes": max_input_bytes
+    }
+
     for i in range(n):
-        payload = text_arr[i]
-        row_fmt = fmt_arr[i]
-        if row_fmt is None:
-            bytes_in[i] = len(payload.encode("utf-8"))
-            error[i] = "unsupported format"
-            continue
-        data = None
-        if row_fmt == "image":
-            # image payloads may arrive base64-encoded (like the binary
-            # formats) — decode for magic-based mime sniffing if possible
-            import base64 as _b64
-            import binascii as _ba
-            try:
-                data = _b64.b64decode(payload, validate=True)
-            except (_ba.Error, ValueError):
-                data = None
-        elif row_fmt in ("zipb64", "xls") and (
-            payload.startswith("UEsDB") or payload.startswith("0M8R")
-        ):
-            data = sniff.maybe_base64_binary(payload)
-            if data is None:
-                error[i] = "invalid base64 binary payload"
-                bytes_in[i] = len(payload.encode("utf-8"))
-                continue
-            if row_fmt == "zipb64":
-                row_fmt = sniff.detect_zip_format(data)
-                if row_fmt is None:
-                    error[i] = "unsupported format: unrecognized ZIP"
-                    out_fmt[i] = "zip"
-                    bytes_in[i] = len(data)
-                    continue
-        if data is None:
-            data = payload.encode("utf-8")
-        bytes_in[i] = len(data)
-        out_fmt[i] = row_fmt
-        if row_fmt == "pdf":
-            error[i] = "unsupported format: pdf"
-            continue
-        ext = row_fmt
-        if row_fmt in ("code", "txt", "image"):
-            # keep the concrete extension (language tag / image filename)
-            h = hints_arr[i].strip().lstrip(".").lower()
-            if h and h != row_fmt:
-                ext = h
-        try:
-            kw = {} if max_input_bytes is None else {
-                "max_input_bytes": max_input_bytes
-            }
-            result = convert_bytes(data, ext, strict=strict, **kw)
-        except Exception as e:  # noqa: BLE001 best-effort row semantics
-            error[i] = f"{type(e).__name__}: {e}"
-            continue
-        markdown[i] = result["markdown"]
-        plain[i] = result["plain_text"]
-        title[i] = result["title"]
-        warns = result["warnings"]
-        n_warnings[i] = len(warns)
-        if warns:
-            warning_codes[i] = [w["code"] for w in warns]
-        chars_out[i] = len(result["markdown"])
+        key = (fmt_arr[i], hints_arr[i], text_arr[i])
+        row = memo.get(key)
+        if row is None:
+            row = _convert_one(text_arr[i], fmt_arr[i], hints_arr[i],
+                               strict, kw)
+            memo[key] = row
+        (markdown[i], plain[i], title[i], out_fmt[i], error[i],
+         n_warnings[i], warning_codes[i], bytes_in[i], chars_out[i]) = row
 
     out = pdf.copy()
     out["markdown"] = markdown

@@ -260,3 +260,80 @@ class TestImageConverterParity:
         (w,) = out["warnings"]
         assert w["code"] == "SkippedElement"
         assert "image description failed for 'image.png'" in w["message"]
+
+
+class TestBatchMemoization:
+    """convert_batch converts each distinct (fmt, hint, payload) ONCE per
+    batch; the memoized output must be row-identical to an unmemoized
+    per-row evaluation (soundness: _convert_one is a pure function)."""
+
+    MIXED_ROWS = [
+        ("plain words here", "txt"),
+        ("plain words here", "txt"),          # dup
+        ("print('x')", "py"),
+        ("print('x')", "py"),                 # dup
+        ("<html><body><p>a</p></body></html>", ""),
+        ("<html><body><p>a</p></body></html>", ""),  # dup
+        ('{"k": 1}', "json"),
+        ("%PDF-1.7 binary", "pdf"),
+        ("%PDF-1.7 binary", "pdf"),           # dup error row
+        ("UEsDB!!!not-base64!!!", ""),
+        ("UEsDB!!!not-base64!!!", ""),        # dup bad-b64 error row
+        (None, ""),
+        ("unique one", "txt"),
+        ("plain words here", "md"),           # same text, DIFFERENT hint
+    ]
+
+    def _unmemoized(self, pdf):
+        from anytomd_spark import batch as B
+        fmt = B.classify_formats(
+            pdf["text"].astype(object).fillna(""), pdf["tool"]
+        )
+        rows = [
+            B._convert_one(
+                t if t is not None else "", f, h, False, {}
+            )
+            for t, f, h in zip(
+                pdf["text"].fillna(""), fmt, pdf["tool"].fillna("")
+            )
+        ]
+        return rows
+
+    def test_memoized_equals_unmemoized(self):
+        from anytomd_spark.batch import OUTPUT_FIELDS
+        pdf = pd.DataFrame(self.MIXED_ROWS, columns=["text", "tool"])
+        out = convert_batch(pdf)
+        expected = self._unmemoized(pdf)
+        names = [f for f, _ in OUTPUT_FIELDS]
+        got = list(zip(*(out[c].tolist() for c in names)))
+        # normalize numpy scalars for comparison
+        got = [tuple(x.item() if hasattr(x, "item") else x for x in r)
+               for r in got]
+        # _convert_one's tuple order matches OUTPUT_FIELDS exactly
+        assert got == [tuple(r) for r in expected]
+
+    def test_each_distinct_payload_converted_once(self, monkeypatch):
+        import anytomd_spark.batch as B
+        calls = []
+        real = B.convert_bytes
+
+        def counting(data, ext, **kw):
+            calls.append((ext, bytes(data)))
+            return real(data, ext, **kw)
+
+        monkeypatch.setattr(B, "convert_bytes", counting)
+        pdf = pd.DataFrame(self.MIXED_ROWS, columns=["text", "tool"])
+        convert_batch(pdf)
+        assert len(calls) == len(set(calls))
+        # 14 rows, but only the distinct convertible keys hit the kernel
+        assert len(calls) == 6
+
+    def test_memo_keys_include_hint(self):
+        # same payload under txt vs md hints: both dispatch as plain text
+        # (md IS txt family) but via different keys — outputs still equal
+        pdf = pd.DataFrame(
+            [("same body", "txt"), ("same body", "md")],
+            columns=["text", "tool"],
+        )
+        out = convert_batch(pdf)
+        assert out["markdown"][0] == out["markdown"][1] == "same body"
