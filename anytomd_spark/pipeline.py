@@ -149,6 +149,73 @@ def convert_transcripts(
     )
 
 
+def convert_transcripts_distinct(
+    df: DataFrame,
+    partitions: int | None = None,
+    strict: bool = False,
+    max_input_bytes: int | None = None,
+) -> DataFrame:
+    """Convert each DISTINCT (text, tool) payload once and join the
+    results back — the cluster-scale form of convert_batch's
+    within-batch memoization.
+
+    When to consider it: corpora with a high payload duplication factor
+    (boilerplate attachments, templated documents, re-crawled pages —
+    the Common-Crawl-style dedup-before-extract pattern). The plan is
+    dedup (one payload shuffle on a 256-bit content key) -> map-only
+    kernel over the ~distinct set -> hash join back (second shuffle).
+
+    Measured trade (scripts/convert_distinct_bench.py, BENCH/BASELINE.md
+    round-6): on local[32] this variant only reaches PARITY with
+    :func:`convert_transcripts` even at a 400x duplication factor —
+    convert_batch's within-batch memoization already collapses
+    duplicates that co-occur inside an Arrow batch at zero shuffle
+    cost — and on an all-unique corpus it is ~2x slower (two payload
+    shuffles for nothing). Its genuine niche is a multi-executor
+    cluster where (a) the duplication factor is high, (b) the distinct
+    pool is far larger than an Arrow batch so batch locality cannot
+    capture it, and (c) per-payload kernel cost outweighs network
+    shuffle cost (real-world OOXML is ~100x heavier than the bench
+    fixtures). Default to map-only; measure before switching. Output
+    rows and values are identical either way (equivalence-tested).
+
+    The content key is md5(text)||md5(tool) (128+128 bits) rather than
+    xxhash64: at 10^12 turns a 64-bit key would see birthday collisions,
+    which for THIS operator would silently attach the wrong Markdown to
+    a turn.
+    """
+    # null-safe without sentinel collisions: a null/non-null flag char
+    # per column sits alongside the md5 of the coalesced value
+    key = F.concat(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))),
+        F.when(F.col("text").isNull(), F.lit("N")).otherwise(F.lit("T")),
+        F.md5(F.coalesce(F.col("tool"), F.lit(""))),
+        F.when(F.col("tool").isNull(), F.lit("N")).otherwise(F.lit("T")),
+    ).alias("_content_key")
+
+    reps = (
+        df.select(key, "text", "tool")
+        .dropDuplicates(["_content_key"])
+    )
+    if partitions:
+        reps = reps.repartition(partitions, "_content_key")
+
+    def _convert_iter(iterator):
+        for pdf in iterator:
+            out = convert_batch(
+                pdf, strict=strict, max_input_bytes=max_input_bytes
+            )
+            yield out.drop(columns=["text", "tool"])
+
+    converted = reps.mapInPandas(
+        _convert_iter,
+        schema=f"_content_key string, {OUTPUT_SPARK_SCHEMA}",
+    )
+    return df.withColumn("_content_key", key).join(
+        converted, on="_content_key", how="left"
+    ).drop("_content_key")
+
+
 def convert_transcripts_struct(
     df: DataFrame,
     partitions: int | None = None,

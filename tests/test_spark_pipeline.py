@@ -481,3 +481,35 @@ def test_ordered_output_null_conv_id_not_dropped(spark):
     assert len(rows) == 3
     got = {(r.conv_id, r.turn_idx): r.turn_seq for r in rows}
     assert got[(None, 0)] == 1 and got[(None, 1)] == 2 and got[("c", 0)] == 1
+
+
+def test_convert_distinct_equals_maponly(spark):
+    """convert_transcripts_distinct (dedup-before-convert) must produce
+    exactly the same rows as the shuffle-free map-only path, including
+    error rows, null payloads, and the duplicate-payload fast path."""
+    from anytomd_spark.pipeline import convert_transcripts_distinct
+
+    df = generate_transcripts(
+        spark, n_convs=30, seed=21, mega_every=0, partitions=3
+    )
+    # graft duplicates and edge rows onto the generated corpus
+    extra = spark.createDataFrame(
+        [
+            ("dup-conv", 0, "user", "<p>shared</p>", "", None),
+            ("dup-conv", 1, "user", "<p>shared</p>", "", None),
+            ("dup-conv", 2, "user", "<p>shared</p>", "html", None),
+            ("dup-conv", 3, "user", None, "", None),
+            ("dup-conv", 4, "user", None, None, None),
+            ("dup-conv", 5, "user", "%PDF-1.7 x", "pdf", None),
+            ("dup-conv", 6, "user", "%PDF-1.7 x", "pdf", None),
+        ],
+        schema=("conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp"),
+    )
+    df = df.unionByName(extra)
+    key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
+    rows_a = sorted(convert_transcripts(df).collect(), key=key)
+    rows_b = sorted(
+        convert_transcripts_distinct(df, partitions=4).collect(), key=key
+    )
+    assert [r.asDict() for r in rows_a] == [r.asDict() for r in rows_b]
