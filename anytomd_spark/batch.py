@@ -52,8 +52,14 @@ def classify_formats(text: pd.Series, tool: pd.Series) -> pd.Series:
     """Vectorized format resolution over a batch (detection priority:
     base64 binary magic -> %PDF -> tool hint -> JSON heuristic -> markup)."""
     n = len(text)
-    fmt = pd.Series([None] * n, index=text.index, dtype=object)
-    t = text.fillna("")
+    # work on a RangeIndex internally: the masked-subset passes below
+    # assign BY LABEL, which would over-assign under duplicate index
+    # labels (e.g. a concat'ed frame); the caller's index is restored
+    # on return
+    orig_index = text.index
+    t = text.fillna("").reset_index(drop=True)
+    tool = tool.reset_index(drop=True)
+    fmt = pd.Series([None] * n, dtype=object)
 
     # 1. magic prefixes
     is_zip = t.str.startswith("UEsDB")
@@ -73,6 +79,7 @@ def classify_formats(text: pd.Series, tool: pd.Series) -> pd.Series:
     # the (object-dtype-expensive) lstrip/lower/regex passes entirely
     todo = fmt.isna()
     if not todo.any():
+        fmt.index = orig_index
         return fmt
     sub = t[todo]
 
@@ -97,6 +104,7 @@ def classify_formats(text: pd.Series, tool: pd.Series) -> pd.Series:
         sub.str.startswith("<") & sub.str.contains(">", regex=False)
     )
     fmt[sub.index[xml_like]] = "xml"
+    fmt.index = orig_index
     return fmt
 
 

@@ -337,3 +337,20 @@ class TestBatchMemoization:
         )
         out = convert_batch(pdf)
         assert out["markdown"][0] == out["markdown"][1] == "same body"
+
+    def test_duplicate_index_labels_stay_rowwise(self):
+        # concat'ed frames carry duplicate index labels; classification
+        # and conversion must stay positional (label-based assignment
+        # would smear one row's format onto its label-twin)
+        pdf = pd.concat([
+            pd.DataFrame({"text": ["<html><body><p>x</p></body></html>",
+                                   "plain words"], "tool": ["", ""]}),
+            pd.DataFrame({"text": ['{"k": 1}', "<doc><a>1</a></doc>"],
+                          "tool": ["", ""]}),
+        ])
+        from anytomd_spark.batch import classify_formats
+        fmt = classify_formats(pdf["text"], pdf["tool"])
+        assert list(fmt) == ["html", None, "json", "xml"]
+        assert list(fmt.index) == [0, 1, 0, 1]
+        out = convert_batch(pdf)
+        assert out["fmt"].tolist() == ["html", None, "json", "xml"]
