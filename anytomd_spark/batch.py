@@ -9,6 +9,9 @@ format's sub-frame. No per-row Python dispatch happens on the driver.
 
 from __future__ import annotations
 
+import base64 as _b64
+import binascii as _ba
+
 import numpy as np
 import pandas as pd
 
@@ -126,8 +129,6 @@ def _convert_one(
     if row_fmt == "image":
         # image payloads may arrive base64-encoded (like the binary
         # formats) — decode for magic-based mime sniffing if possible
-        import base64 as _b64
-        import binascii as _ba
         try:
             data = _b64.b64decode(payload, validate=True)
         except (_ba.Error, ValueError):
@@ -211,11 +212,18 @@ def convert_batch(
     }
 
     for i in range(n):
-        key = (fmt_arr[i], hints_arr[i], text_arr[i])
+        row_fmt = fmt_arr[i]
+        # the hint only affects output for code/txt/image (language tag /
+        # image filename), and only in normalized form — key on exactly
+        # that so 'txt' vs '.TXT' copies (or hint variants on formats
+        # that ignore the hint) still collapse to one conversion
+        h = hints_arr[i]
+        key_hint = (h.strip().lstrip(".").lower()
+                    if row_fmt in ("code", "txt", "image") else "")
+        key = (row_fmt, key_hint, text_arr[i])
         row = memo.get(key)
         if row is None:
-            row = _convert_one(text_arr[i], fmt_arr[i], hints_arr[i],
-                               strict, kw)
+            row = _convert_one(text_arr[i], row_fmt, h, strict, kw)
             memo[key] = row
         (markdown[i], plain[i], title[i], out_fmt[i], error[i],
          n_warnings[i], warning_codes[i], bytes_in[i], chars_out[i]) = row

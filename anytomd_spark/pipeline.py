@@ -179,6 +179,12 @@ def convert_transcripts_distinct(
     fixtures). Default to map-only; measure before switching. Output
     rows and values are identical either way (equivalence-tested).
 
+    Caveat shared with every multi-scan Spark plan: ``df`` is scanned
+    TWICE (dedup branch + probe side), so its content must be stable
+    across scans — cache/checkpoint a non-deterministic source first,
+    or rows whose recomputed key finds no partner silently left-join to
+    null outputs.
+
     The content key is md5(text)||md5(tool) (128+128 bits) rather than
     xxhash64: at 10^12 turns a 64-bit key would see birthday collisions,
     which for THIS operator would silently attach the wrong Markdown to

@@ -106,7 +106,7 @@ def main() -> None:
     dup_path = ensure_dup_corpus(spark)
     heavy_path = ensure_dup_corpus(spark, n_pool=50000, heavy=True)
     from bench import ensure_transcripts  # same cached unique corpus as bench.py
-    uniq_path = ensure_transcripts(spark, 400000 // 3)
+    uniq_path = ensure_transcripts(spark, N_TURNS // 3)
 
     legs = {
         "map-only": lambda df: convert_transcripts(df, partitions=CPUS * 2),

@@ -354,3 +354,30 @@ class TestBatchMemoization:
         assert list(fmt.index) == [0, 1, 0, 1]
         out = convert_batch(pdf)
         assert out["fmt"].tolist() == ["html", None, "json", "xml"]
+
+    def test_hint_variants_share_memo_entries(self, monkeypatch):
+        # normalized-hint keying: case/dot variants of the same hint, and
+        # hint variants on formats that ignore the hint, convert ONCE
+        import anytomd_spark.batch as B
+        calls = []
+        real = B.convert_bytes
+
+        def counting(data, ext, **kw):
+            calls.append((ext, bytes(data)))
+            return real(data, ext, **kw)
+
+        monkeypatch.setattr(B, "convert_bytes", counting)
+        pdf = pd.DataFrame(
+            [
+                ("same body", "txt"), ("same body", ".TXT"),
+                ("same body", "TXT "),
+                ("<p>x</p>", ""), ("<p>x</p>", "html"),
+                ("<p>x</p>", ".HTML"),
+            ],
+            columns=["text", "tool"],
+        )
+        out = convert_batch(pdf)
+        assert out["error"].isna().all()
+        assert len(calls) == 2  # one txt conversion + one html conversion
+        assert out["markdown"].tolist()[:3] == ["same body"] * 3
+        assert len(set(out["markdown"].tolist()[3:])) == 1
