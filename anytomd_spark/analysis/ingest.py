@@ -82,14 +82,25 @@ def _resolve_member(name: str, body: bytes) -> tuple[str, str]:
     return "txt", "txt"
 
 
-def _member_row(shard_id: int, name: str, body: bytes) -> tuple:
+def _member_row(shard_id: int, name: str, body: bytes,
+                memo: dict | None = None) -> tuple:
+    """One converted-member row. ``memo`` (scoped to one Arrow batch of
+    shards, same pattern as batch.convert_batch) collapses members with
+    identical (dispatch hint, bytes) — e.g. the same README/license file
+    shipped in every shard of a batch — to a single conversion; the
+    conversion tail is a pure function of that key."""
     hint, fmt = _resolve_member(name, body)
-    try:
-        r = C.convert_bytes(body, hint)
-        return (shard_id, name, fmt, len(body), len(r["warnings"]),
-                r["markdown"], None)
-    except (C.MalformedDocument, InputTooLarge, ValueError) as e:
-        return (shard_id, name, fmt, len(body), None, None, str(e))
+    key = (hint, fmt, body)
+    tail = memo.get(key) if memo is not None else None
+    if tail is None:
+        try:
+            r = C.convert_bytes(body, hint)
+            tail = (fmt, len(body), len(r["warnings"]), r["markdown"], None)
+        except (C.MalformedDocument, InputTooLarge, ValueError) as e:
+            tail = (fmt, len(body), None, None, str(e))
+        if memo is not None:
+            memo[key] = tail
+    return (shard_id, name, *tail)
 
 
 def tar_extract(
@@ -109,6 +120,7 @@ def tar_extract(
     def run(iterator):
         for pdf in iterator:
             rows = []
+            memo: dict = {}  # per-batch member-conversion memo
             for shard_id, payload in zip(pdf[shard_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
                 # plain tar on a seekable buffer SEEKS past a skipped
@@ -154,7 +166,8 @@ def tar_extract(
                             rows.append((int(shard_id), m.name, None, None,
                                          None, None, f"bad member: {e}"))
                             continue
-                        rows.append(_member_row(int(shard_id), m.name, body))
+                        rows.append(_member_row(int(shard_id), m.name,
+                                                body, memo))
             yield pd.DataFrame(rows, columns=_COLUMNS)
 
     return shards.mapInPandas(run, schema=ARCHIVE_DOCS_SCHEMA)
@@ -178,6 +191,7 @@ def zip_extract(
     def run(iterator):
         for pdf in iterator:
             rows = []
+            memo: dict = {}  # per-batch member-conversion memo
             for shard_id, payload in zip(pdf[shard_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
                 try:
@@ -211,7 +225,7 @@ def zip_extract(
                                          f"bad member: {e}"))
                             continue
                         rows.append(_member_row(int(shard_id), zi.filename,
-                                                body))
+                                                body, memo))
                     if truncated:
                         rows.append((int(shard_id), None, None, None, None,
                                      None,

@@ -369,3 +369,35 @@ class TestUntrustedShardEdges:
             _shards_df(spark, [(0, tar)]), max_member_bytes=1000).collect()}
         assert "exceeds budget" in out["big.txt"]["error"]
         assert out["after.txt"]["error"] is None
+
+
+def test_member_memo_collapses_identical_members(monkeypatch):
+    """Identical (hint, bytes) members across shards in one batch convert
+    once (the batch.convert_batch memo pattern at the archive edge),
+    with row-identical output to the unmemoized path."""
+    from anytomd_spark.analysis import ingest as I
+    from anytomd_spark.kernels import convert as C
+
+    calls = []
+    real = C.convert_bytes
+
+    def counting(data, ext, **kw):
+        calls.append((ext, bytes(data)))
+        return real(data, ext, **kw)
+
+    monkeypatch.setattr(I.C, "convert_bytes", counting)
+    shared = [("README.txt", b"the same readme in every shard"),
+              ("doc.csv", b"a,b\n1,2\n")]
+    memo = {}
+    rows_memo = []
+    for s, (name, body) in enumerate(shared * 4):
+        rows_memo.append(I._member_row(s, name, body, memo))
+    n_calls_memo = len(calls)
+    calls.clear()
+    rows_plain = []
+    for s, (name, body) in enumerate(shared * 4):
+        rows_plain.append(I._member_row(s, name, body))
+    n_calls_plain = len(calls)
+    assert n_calls_memo == 2           # one per distinct member
+    assert n_calls_plain == 8          # every occurrence, unmemoized
+    assert rows_memo == rows_plain     # row-identical output
