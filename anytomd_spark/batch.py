@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import base64 as _b64
 import binascii as _ba
+import re as _re
 
 import numpy as np
 import pandas as pd
@@ -51,9 +52,97 @@ for _ext in sniff._IMAGE_EXTS:
     _HINT_TO_FMT[_ext] = "image"
 
 
+_WS_SET = frozenset(" \t\r\n\x0b\x0c")
+_MARKUP_RE = _re.compile(
+    r"<head|<body|<div|<p>|<p |<table|<h1|<ul|<span|<br"
+)
+_MISSING = object()
+
+
 def classify_formats(text: pd.Series, tool: pd.Series) -> pd.Series:
-    """Vectorized format resolution over a batch (detection priority:
-    base64 binary magic -> %PDF -> tool hint -> JSON heuristic -> markup)."""
+    """Format resolution over a batch (detection priority: base64 binary
+    magic -> %PDF -> tool hint -> JSON heuristic -> markup).
+
+    One positional Python pass. The previous pandas ``.str``-chain version
+    (kept below as :func:`_classify_formats_pandas`, the reference
+    implementation for the differential test) cost ~7 object-dtype series
+    passes — each a per-row lambda map — plus full-string ``lstrip``
+    copies of megabyte payloads on the JSON-heuristic step; the loop form
+    touches at most a 256-char slice per unhinted row and memoizes hint
+    normalization per distinct hint string.
+    """
+    n = len(text)
+    tvals = text.to_numpy(dtype=object)
+    hvals = tool.to_numpy(dtype=object)
+    out: list = [None] * n
+    hint_memo: dict[str, str | None] = {}
+    hint_get = _HINT_TO_FMT.get
+    ws = _WS_SET
+    search = _MARKUP_RE.search
+    for i in range(n):
+        s = tvals[i]
+        if not isinstance(s, str):  # None/NaN -> "" (fillna semantics)
+            s = ""
+        # 1. magic prefixes (first chars are mutually exclusive)
+        c0 = s[:1]
+        if c0 == "U":
+            if s.startswith("UEsDB"):
+                out[i] = "zipb64"  # refined per-row (ZIP introspection)
+                continue
+        elif c0 == "0":
+            if s.startswith("0M8R"):
+                out[i] = "xls"
+                continue
+        elif c0 == "%":
+            if s.startswith("%PDF"):
+                out[i] = "pdf"
+                continue
+        # 2. tool hint
+        h = hvals[i]
+        if isinstance(h, str) and h:
+            f = hint_memo.get(h, _MISSING)
+            if f is _MISSING:
+                f = hint_get(h.strip().lstrip(".").lower())
+                hint_memo[h] = f
+            if f is not None:
+                out[i] = f
+                continue
+        # 3. JSON heuristic: first non-ws char (skipping one BOM) is { or [
+        j = 0
+        ln = len(s)
+        seen_bom = False
+        while j < ln:
+            ch = s[j]
+            if ch in ws:
+                j += 1
+            elif ch == "﻿" and not seen_bom:
+                seen_bom = True
+                j += 1
+            else:
+                break
+        if j < ln:
+            ch = s[j]
+            if ch == "{" or ch == "[":
+                out[i] = "json"
+                continue
+        # 4. markup fallback over the 256-char lowered prefix (BOM kept:
+        # only ASCII whitespace lstrips, matching the reference heuristic)
+        k = 0
+        while k < ln and s[k] in ws:
+            k += 1
+        low = s[k:k + 256].lower()
+        if (low.startswith("<!doctype html") or low.startswith("<html")
+                or search(low)):
+            out[i] = "html"
+        elif low.startswith("<?xml") or (low.startswith("<") and ">" in low):
+            out[i] = "xml"
+    return pd.Series(out, index=text.index, dtype=object)
+
+
+def _classify_formats_pandas(text: pd.Series, tool: pd.Series) -> pd.Series:
+    """Reference implementation of :func:`classify_formats` (the original
+    vectorized pandas form), retained ONLY as the differential-test oracle
+    — see tests/test_chaos.py."""
     n = len(text)
     # work on a RangeIndex internally: the masked-subset passes below
     # assign BY LABEL, which would over-assign under duplicate index
@@ -228,7 +317,10 @@ def convert_batch(
         (markdown[i], plain[i], title[i], out_fmt[i], error[i],
          n_warnings[i], warning_codes[i], bytes_in[i], chars_out[i]) = row
 
-    out = pdf.copy()
+    # shallow copy: the passthrough columns are read-only here and the
+    # input frame is an Arrow-batch temporary — deep-copying object
+    # columns measured ~1% of batch CPU for no aliasing benefit
+    out = pdf.copy(deep=False)
     out["markdown"] = markdown
     out["plain_text"] = plain
     out["title"] = title

@@ -205,8 +205,12 @@ class _Walker:
                 self.push_str(prefix)
                 self.push_str("\n")
         else:
-            while self.trailing_newlines < 2:
-                self.push_str("\n")
+            need = 2 - self.trailing_newlines
+            if need > 0:  # one batched chunk (buffer value is identical)
+                buf = self.out
+                buf.chunks.append("\n" if need == 1 else "\n\n")
+                buf.length += need
+                self.trailing_newlines = 2
 
     def plain_push_str(self, s: str) -> None:
         if not s:
@@ -230,8 +234,12 @@ class _Walker:
     def plain_ensure_blank_line(self) -> None:
         if not self.plain.length:
             return
-        while self.plain_trailing_newlines < 2:
-            self.plain_push_str("\n")
+        need = 2 - self.plain_trailing_newlines
+        if need > 0:
+            buf = self.plain
+            buf.chunks.append("\n" if need == 1 else "\n\n")
+            buf.length += need
+            self.plain_trailing_newlines = 2
 
     def both_push_str(self, s: str) -> None:
         self.push_str(s)
@@ -762,60 +770,67 @@ from html import unescape as _unescape
 
 
 def _fast_feed(parser: "_EdgeParser", text: str) -> None:
-    pos = 0
     n = len(text)
-    match = _TOKEN_RE.match
     handle_data = parser.handle_data
-    while pos < n:
-        m = match(text, pos)
-        if m is None:  # pragma: no cover - the regex is total
-            handle_data(text[pos])
-            pos += 1
-            continue
-        start = pos
-        pos = m.end()
-        # lastindex discriminates token kind without materializing the
-        # group tuple: None = text/comment/doctype/PI/lone-'<',
-        # 1 = end tag, >=2 = start tag (groups 2-4)
-        li = m.lastindex
-        if li is None:
-            if text[start] == "<" and pos - start >= 2:
-                # every multi-char group-less token opening with '<' is
-                # swallowed markup: comment, CDATA, doctype, PI, or a
-                # bogus '</junk>' end tag (lone '<' is 1 char -> text)
-                continue
-            # plain text run, or a lone '<' emitted as literal text
-            token = text[start:pos]
-            if "&" in token:
-                token = _unescape(token)
-            handle_data(token)
-        elif li >= 2:
-            tag = m.group(2).lower()
-            attrs_raw = m.group(3)
-            attrs = []
-            if attrs_raw:
-                for am in _ATTR_RE.finditer(attrs_raw):
-                    val = am.group(2) or am.group(3) or am.group(4)
-                    if val is not None and "&" in val:
-                        val = _unescape(val)
-                    attrs.append((am.group(1).lower(), val))
-            if m.group(4):
-                parser.handle_startendtag(tag, attrs)
+    handle_endtag = parser.handle_endtag
+    rawtext_get = _RAWTEXT_CLOSE.get
+    # finditer iterates the total token regex at C speed (no per-token
+    # Python re-entry / position bookkeeping); the only case that needs a
+    # restart is raw-text content, whose span the token regex must not
+    # scan (a '<!--' inside <script> would swallow past the close tag) —
+    # rawtext elements are rare, so the restart cost is off the hot path
+    pos = 0
+    while True:
+        rawtext_jump = False
+        for m in _TOKEN_RE.finditer(text, pos):
+            # lastindex discriminates token kind without materializing
+            # the group tuple: None = text/comment/doctype/PI/lone-'<',
+            # 1 = end tag, >=2 = start tag (groups 2-4)
+            li = m.lastindex
+            if li is None:
+                token = m.group()
+                if token[0] == "<" and len(token) >= 2:
+                    # every multi-char group-less token opening with '<'
+                    # is swallowed markup: comment, CDATA, doctype, PI, or
+                    # a bogus '</junk>' end tag (lone '<' = 1 char = text)
+                    continue
+                # plain text run, or a lone '<' emitted as literal text
+                if "&" in token:
+                    token = _unescape(token)
+                handle_data(token)
+            elif li >= 2:
+                tag = m.group(2).lower()
+                attrs_raw = m.group(3)
+                attrs = []
+                if attrs_raw:
+                    for am in _ATTR_RE.finditer(attrs_raw):
+                        val = am.group(2) or am.group(3) or am.group(4)
+                        if val is not None and "&" in val:
+                            val = _unescape(val)
+                        attrs.append((am.group(1).lower(), val))
+                if m.group(4):
+                    parser.handle_startendtag(tag, attrs)
+                else:
+                    parser.handle_starttag(tag, attrs)
+                    closer = rawtext_get(tag)
+                    if closer is not None:
+                        # raw-text content mode: no tags until the close
+                        # tag (RCDATA charref decode for title/textarea
+                        # happens in _EdgeParser.handle_data, shared with
+                        # the stdlib path)
+                        tpos = m.end()
+                        cm = closer.search(text, tpos)
+                        end = cm.start() if cm else n
+                        if end > tpos:
+                            handle_data(text[tpos:end])
+                        handle_endtag(tag)
+                        pos = cm.end() if cm else n
+                        rawtext_jump = True
+                        break
             else:
-                parser.handle_starttag(tag, attrs)
-                closer = _RAWTEXT_CLOSE.get(tag)
-                if closer is not None:
-                    # raw-text content mode: no tags until the close tag
-                    # (RCDATA charref decode for title/textarea happens in
-                    # _EdgeParser.handle_data, shared with the stdlib path)
-                    cm = closer.search(text, pos)
-                    end = cm.start() if cm else n
-                    if end > pos:
-                        handle_data(text[pos:end])
-                    parser.handle_endtag(tag)
-                    pos = cm.end() if cm else n
-        else:
-            parser.handle_endtag(m.group(1).lower())
+                handle_endtag(m.group(1).lower())
+        if not rawtext_jump:
+            break
 
 
 def convert_html(data: bytes, fast: bool = True) -> dict:

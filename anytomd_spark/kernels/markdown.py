@@ -35,22 +35,16 @@ def build_table(headers: list[str], rows: list[list[str]]) -> str:
     col_count = len(headers)
     if col_count == 0:
         return ""
-    parts: list[str] = ["|"]
-    for h in headers:
-        parts.append(" ")
-        parts.append(escape_cell(h))
-        parts.append(" |")
-    parts.append("\n|")
-    parts.append("---|" * col_count)
-    parts.append("\n")
+    esc = escape_cell
+    parts: list[str] = [
+        "| " + " | ".join(map(esc, headers)) + " |\n|"
+        + "---|" * col_count + "\n"
+    ]
+    append = parts.append
     for row in rows:
-        parts.append("|")
-        for i in range(col_count):
-            parts.append(" ")
-            if i < len(row):
-                parts.append(escape_cell(row[i]))
-            parts.append(" |")
-        parts.append("\n")
+        if len(row) != col_count:  # pad/truncate off the hot path
+            row = row[:col_count] + [""] * (col_count - len(row))
+        append("| " + " | ".join(map(esc, row)) + " |\n")
     return "".join(parts)
 
 
@@ -60,10 +54,12 @@ def build_table_plain(headers: list[str], rows: list[list[str]]) -> str:
     if col_count == 0:
         return ""
     out = ["\t".join(headers), "\n"]
+    append = out.append
     for row in rows:
-        cells = [row[i] if i < len(row) else "" for i in range(col_count)]
-        out.append("\t".join(cells))
-        out.append("\n")
+        if len(row) != col_count:
+            row = row[:col_count] + [""] * (col_count - len(row))
+        append("\t".join(row))
+        append("\n")
     return "".join(out)
 
 

@@ -355,6 +355,43 @@ class TestBatchMemoization:
         out = convert_batch(pdf)
         assert out["fmt"].tolist() == ["html", None, "json", "xml"]
 
+    def test_classify_loop_matches_pandas_reference(self):
+        # the single-pass loop form of classify_formats must agree with
+        # the original vectorized pandas implementation (kept as the
+        # reference oracle) row-for-row, including BOM/whitespace edge
+        # shapes, magic-vs-hint priority, and non-string cells
+        import random
+
+        from anytomd_spark.batch import (
+            _classify_formats_pandas,
+            classify_formats,
+        )
+
+        pool = [
+            ("UEsDBxyzzy", ""), ("0M8Rabc", ""), ("%PDF-1.4", ""),
+            ('{"a":1}', ""), ("  ﻿[1,2]", ""), ("﻿﻿{", ""),
+            ("x﻿{", ""), ("<!DOCTYPE html><html>", ""), ("<html>", ""),
+            ("hello <div>world</div>", ""), ("<?xml version='1.0'?>", ""),
+            ("<root>v</root>", ""), ("<onlyopen", ""), ("plain text", ""),
+            ("code x=1", "py"), ("T", ".HTML"), ("T", " docx "),
+            ("T", "unknownhint"), ("{j}", "html"), ("UEsDB", "txt"),
+            ("", ""), ("   ", ""), ("\t\n< >", ""),
+            ("<" + "a" * 300 + ">", ""), ("﻿plain", ""),
+            (" \x0b\x0c{}", ""), ("[", ""),
+        ]
+        rng = random.Random(11)
+        payloads, hints = [], []
+        for _ in range(4000):
+            p, h = pool[rng.randrange(len(pool))]
+            payloads.append(p)
+            hints.append(h if rng.random() < 0.8 else None)
+        payloads[7] = None  # fillna path
+        t = pd.Series(payloads, dtype=object)
+        tool = pd.Series(hints, dtype=object)
+        assert list(classify_formats(t, tool)) == list(
+            _classify_formats_pandas(t, tool)
+        )
+
     def test_hint_variants_share_memo_entries(self, monkeypatch):
         # normalized-hint keying: case/dot variants of the same hint, and
         # hint variants on formats that ignore the hint, convert ONCE

@@ -140,6 +140,30 @@ class TestConverterInvariants:
         body = out["markdown"].removeprefix("```json\n").removesuffix("\n```\n")
         assert json.loads(body) == value
 
+    @given(st.recursive(
+        st.none() | st.booleans()
+        | st.integers(min_value=-10**18, max_value=10**18)
+        | st.floats(allow_nan=True, allow_infinity=True)
+        | st.text(max_size=12),
+        lambda children: st.lists(children, max_size=4)
+        | st.dictionaries(st.text(max_size=6), children, max_size=4),
+        max_leaves=12,
+    ))
+    @settings(max_examples=200 * _FUZZ_MULT)
+    def test_json_pretty_matches_stdlib(self, value):
+        """The hand-rolled pretty emitter must be byte-identical to
+        json.dumps(indent=2, ensure_ascii=False, sort_keys=True) on every
+        loads-producible value (NaN keys included via the loads round
+        trip below, which also pins the exact input types)."""
+        from anytomd_spark.kernels.simple import _pretty_sorted
+
+        value = json.loads(json.dumps(value))  # exact loads types
+        out: list[str] = []
+        _pretty_sorted(value, "", out)
+        assert "".join(out) == json.dumps(
+            value, indent=2, ensure_ascii=False, sort_keys=True
+        )
+
     @given(st.text(max_size=300))
     @settings(max_examples=100 * _FUZZ_MULT, deadline=1000)
     def test_html_never_panics(self, s):
