@@ -1,11 +1,15 @@
 """spark-submit entry point for the extraction job.
 
     zip -r anytomd_spark.zip anytomd_spark
-    spark-submit --py-files anytomd_spark.zip -m anytomd_spark.job \\
+    spark-submit --py-files anytomd_spark.zip scripts/submit_job.py \\
         --input  /data/transcripts \\
         --output /data/converted \\
         --lineage /data/converted_lineage \\
         [--strict] [--salted] [--buckets 4096] [--max-input-bytes 8GiB]
+
+(spark-submit has no ``-m`` module mode; scripts/submit_job.py is the
+thin submit target that imports this module from the --py-files zip.
+``python -m anytomd_spark.job`` also works for local runs.)
 
 Reads the transcripts table (parquet; an Iceberg table resolves through
 ``spark.read.table`` when a catalog is configured — pass --table instead

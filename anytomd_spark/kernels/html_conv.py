@@ -157,6 +157,8 @@ class _Walker:
     def __init__(self) -> None:
         self.out = _StrBuf()
         self.plain = _StrBuf()
+        self.stack: list[str] = []  # open-element stack (edge synthesis)
+        self._p_open = 0  # open <p> count: guards the per-tag p-scan
         self.list_stack: list[list] = []  # [ordered, item_count]
         self.in_pre = False
         self.skip_depth = 0
@@ -568,38 +570,77 @@ class _Walker:
         if plain_collapsed:
             self.plain_push_str(plain_collapsed)
 
+    # ---- tree construction (Open/Close edge synthesis) ----
+    #
+    # Implied end tags (subset of WHATWG tree construction: html5ever
+    # closes unclosed li/p/tr/td; we synthesize the same close edges) and
+    # stack discipline live HERE so the fast tokenizer drives the walker
+    # with no intermediate parser frame; the stdlib html.parser path
+    # adapts through _EdgeParser onto the same methods.
 
-def _render_table(tc: dict, plain: bool) -> str:
-    """No <thead> -> first row becomes the header (html.rs:669-691)."""
-    if not tc["headers"] and tc["rows"]:
-        headers, data_rows = tc["rows"][0], tc["rows"][1:]
-    else:
-        headers, data_rows = tc["headers"], tc["rows"]
-    if not headers:
-        return ""
-    if plain:
-        return md.build_table_plain(headers, data_rows)
-    return md.build_table(headers, data_rows)
+    def edge_starttag(self, tag: str, attrs: dict[str, str | None]) -> None:
+        if tag in VOID_ELEMENTS:
+            self.handle_open(tag, attrs)
+            self.handle_close(tag)
+            return
+        if tag in _IMPLIED_TRIGGERS or (self._p_open and tag in _P_CLOSERS):
+            self._close_implied_for(tag)
+        self.stack.append(tag)
+        if tag == "p":
+            self._p_open += 1
+        # handle_open, inlined (the hottest per-event call chain)
+        if tag in _CAPTURE_OR_SKIP:
+            self.handle_open(tag, attrs)
+            return
+        if self.skip_depth > 0:
+            return
+        handler = self._OPEN_DISPATCH.get(tag)
+        if handler is not None:
+            handler(self, tag, attrs)
 
+    def edge_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        stack = self.stack
+        # fast path: well-formed HTML closes the top of the stack
+        if stack and stack[-1] == tag:
+            stack.pop()
+            if tag == "p":
+                self._p_open -= 1
+            # handle_close, inlined
+            if tag in _CAPTURE_OR_SKIP:
+                self.handle_close(tag)
+                return
+            if self.skip_depth > 0:
+                return
+            handler = self._CLOSE_DISPATCH.get(tag)
+            if handler is not None:
+                handler(self, tag)
+            return
+        # scan from the top without building a reversed copy
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i] == tag:
+                while len(stack) > i:
+                    self._pop_close()
+                return
+        # stray end tag with no matching open: ignored
 
-class _EdgeParser(HTMLParser):
-    """Tokenizer -> Open/Close edge stream with implied end tags."""
+    def edge_text(self, data: str) -> None:
+        # RCDATA decode for the stdlib path (html.parser's cdata mode
+        # delivers title/textarea content raw — convert_charrefs does not
+        # apply inside CDATA elements). The fast tokenizer decodes at its
+        # rawtext jump instead: regular text tokens can never arrive
+        # while title/textarea is open there.
+        stack = self.stack
+        if stack and stack[-1] in ("title", "textarea") and "&" in data:
+            data = _unescape(data)
+        self.handle_text(data)
 
-    # html.parser only treats script/style as raw text; the WHATWG spec
-    # (and html5ever, which the reference uses) also parses title and
-    # textarea as RCDATA — '<p>' inside <title> is TEXT, not a tag.
-    # Registering them here keeps the stdlib path equivalent to the fast
-    # tokenizer's raw-text mode (differential-fuzz-found divergence on
-    # unterminated titles).
-    CDATA_CONTENT_ELEMENTS = ("script", "style", "title", "textarea")
+    def edge_eof(self) -> None:
+        while self.stack:
+            self._pop_close()
 
-    def __init__(self, walker: _Walker) -> None:
-        super().__init__(convert_charrefs=True)
-        self.walker = walker
-        self.stack: list[str] = []
-        self._p_open = 0  # open <p> count: guards the per-tag p-scan
-
-    # -- implied end-tag synthesis (subset of WHATWG tree construction) --
+    # -- implied end-tag synthesis helpers --
 
     def _close_implied_for(self, tag: str) -> None:
         if tag in _IMPLIED_TRIGGERS:
@@ -627,7 +668,9 @@ class _EdgeParser(HTMLParser):
     def _close_up_to(self, target: str, stop_at: tuple[str, ...]) -> None:
         self._close_up_to_any((target,), stop_at)
 
-    def _close_up_to_any(self, targets: tuple[str, ...], stop_at: tuple[str, ...]) -> None:
+    def _close_up_to_any(
+        self, targets: tuple[str, ...], stop_at: tuple[str, ...]
+    ) -> None:
         for i in range(len(self.stack) - 1, -1, -1):
             t = self.stack[i]
             if t in stop_at:
@@ -641,58 +684,62 @@ class _EdgeParser(HTMLParser):
         t = self.stack.pop()
         if t == "p":
             self._p_open -= 1
-        self.walker.handle_close(t)
+        self.handle_close(t)
 
-    # -- tokenizer callbacks --
 
-    _EMPTY_ATTRS: dict = {}
+def _render_table(tc: dict, plain: bool) -> str:
+    """No <thead> -> first row becomes the header (html.rs:669-691)."""
+    if not tc["headers"] and tc["rows"]:
+        headers, data_rows = tc["rows"][0], tc["rows"][1:]
+    else:
+        headers, data_rows = tc["headers"], tc["rows"]
+    if not headers:
+        return ""
+    if plain:
+        return md.build_table_plain(headers, data_rows)
+    return md.build_table(headers, data_rows)
+
+
+_EMPTY_ATTRS: dict = {}
+
+
+class _EdgeParser(HTMLParser):
+    """stdlib-tokenizer adapter onto the walker's edge layer.
+
+    Tree construction (implied end tags, stack discipline) lives in
+    _Walker.edge_* so both tokenizer paths share one implementation; this
+    class only adapts html.parser's callback shapes and EOF quirks.
+    """
+
+    # html.parser only treats script/style as raw text; the WHATWG spec
+    # (and html5ever, which the reference uses) also parses title and
+    # textarea as RCDATA — '<p>' inside <title> is TEXT, not a tag.
+    # Registering them here keeps the stdlib path equivalent to the fast
+    # tokenizer's raw-text mode (differential-fuzz-found divergence on
+    # unterminated titles).
+    CDATA_CONTENT_ELEMENTS = ("script", "style", "title", "textarea")
+
+    def __init__(self, walker: _Walker) -> None:
+        super().__init__(convert_charrefs=True)
+        self.walker = walker
 
     def handle_starttag(self, tag: str, attrs: list) -> None:
         # walkers only read attrs; share one empty dict for the common case
-        attrs_dict = dict(attrs) if attrs else self._EMPTY_ATTRS
-        if tag in VOID_ELEMENTS:
-            self.walker.handle_open(tag, attrs_dict)
-            self.walker.handle_close(tag)
-            return
-        self._close_implied_for(tag)
-        self.stack.append(tag)
-        if tag == "p":
-            self._p_open += 1
-        self.walker.handle_open(tag, attrs_dict)
+        self.walker.edge_starttag(
+            tag, dict(attrs) if attrs else _EMPTY_ATTRS
+        )
 
     def handle_startendtag(self, tag: str, attrs: list) -> None:
-        attrs_dict = dict(attrs)
-        self.walker.handle_open(tag, attrs_dict)
-        self.walker.handle_close(tag)
+        w = self.walker
+        attrs_dict = dict(attrs) if attrs else _EMPTY_ATTRS
+        w.handle_open(tag, attrs_dict)
+        w.handle_close(tag)
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in VOID_ELEMENTS:
-            return
-        stack = self.stack
-        # fast path: well-formed HTML closes the top of the stack
-        if stack and stack[-1] == tag:
-            stack.pop()
-            if tag == "p":
-                self._p_open -= 1
-            self.walker.handle_close(tag)
-            return
-        # scan from the top without building a reversed copy (hot path)
-        for i in range(len(stack) - 1, -1, -1):
-            if stack[i] == tag:
-                while len(stack) > i:
-                    self._pop_close()
-                return
-        # stray end tag with no matching open: ignored
+        self.walker.edge_endtag(tag)
 
     def handle_data(self, data: str) -> None:
-        # RCDATA decode happens HERE, exactly once for both tokenizer
-        # paths: html.parser's cdata mode delivers title/textarea content
-        # raw (convert_charrefs does not apply inside CDATA elements),
-        # and _fast_feed defers its raw-text decode to this hook too
-        if self.stack and self.stack[-1] in ("title", "textarea") \
-                and "&" in data:
-            data = _unescape(data)
-        self.walker.handle_text(data)
+        self.walker.edge_text(data)
 
     def close(self) -> None:
         # unterminated markup declaration at EOF ('<!...' / '<?...' with
@@ -714,8 +761,7 @@ class _EdgeParser(HTMLParser):
             self.handle_data(data)
             self.handle_endtag(elem)
         super().close()
-        while self.stack:
-            self._pop_close()
+        self.walker.edge_eof()
 
 
 # ---- fast tokenizer ----------------------------------------------------
@@ -769,10 +815,11 @@ _RAWTEXT_CLOSE = {
 from html import unescape as _unescape
 
 
-def _fast_feed(parser: "_EdgeParser", text: str) -> None:
+def _fast_feed(walker: "_Walker", text: str) -> None:
     n = len(text)
-    handle_data = parser.handle_data
-    handle_endtag = parser.handle_endtag
+    handle_text = walker.handle_text
+    edge_starttag = walker.edge_starttag
+    edge_endtag = walker.edge_endtag
     rawtext_get = _RAWTEXT_CLOSE.get
     # finditer iterates the total token regex at C speed (no per-token
     # Python re-entry / position bookkeeping); the only case that needs a
@@ -794,41 +841,51 @@ def _fast_feed(parser: "_EdgeParser", text: str) -> None:
                     # is swallowed markup: comment, CDATA, doctype, PI, or
                     # a bogus '</junk>' end tag (lone '<' = 1 char = text)
                     continue
-                # plain text run, or a lone '<' emitted as literal text
+                # plain text run, or a lone '<' emitted as literal text.
+                # Straight to handle_text: regular text tokens can never
+                # arrive while title/textarea is open here (their content
+                # flows through the rawtext jump below, which does the
+                # RCDATA decode edge_text would do)
                 if "&" in token:
                     token = _unescape(token)
-                handle_data(token)
+                handle_text(token)
             elif li >= 2:
                 tag = m.group(2).lower()
                 attrs_raw = m.group(3)
-                attrs = []
                 if attrs_raw:
+                    attrs: dict = {}
                     for am in _ATTR_RE.finditer(attrs_raw):
                         val = am.group(2) or am.group(3) or am.group(4)
                         if val is not None and "&" in val:
                             val = _unescape(val)
-                        attrs.append((am.group(1).lower(), val))
-                if m.group(4):
-                    parser.handle_startendtag(tag, attrs)
+                        attrs[am.group(1).lower()] = val
                 else:
-                    parser.handle_starttag(tag, attrs)
+                    attrs = _EMPTY_ATTRS
+                if m.group(4):
+                    walker.handle_open(tag, attrs)
+                    walker.handle_close(tag)
+                else:
+                    edge_starttag(tag, attrs)
                     closer = rawtext_get(tag)
                     if closer is not None:
                         # raw-text content mode: no tags until the close
-                        # tag (RCDATA charref decode for title/textarea
-                        # happens in _EdgeParser.handle_data, shared with
-                        # the stdlib path)
+                        # tag; title/textarea content is RCDATA (charref
+                        # decode here mirrors _Walker.edge_text)
                         tpos = m.end()
                         cm = closer.search(text, tpos)
                         end = cm.start() if cm else n
                         if end > tpos:
-                            handle_data(text[tpos:end])
-                        handle_endtag(tag)
+                            content = text[tpos:end]
+                            if tag in ("title", "textarea") \
+                                    and "&" in content:
+                                content = _unescape(content)
+                            handle_text(content)
+                        edge_endtag(tag)
                         pos = cm.end() if cm else n
                         rawtext_jump = True
                         break
             else:
-                handle_endtag(m.group(1).lower())
+                edge_endtag(m.group(1).lower())
         if not rawtext_jump:
             break
 
@@ -839,12 +896,11 @@ def convert_html(data: bytes, fast: bool = True) -> dict:
     if text.startswith("﻿"):
         text = text[1:]
     walker = _Walker()
-    parser = _EdgeParser(walker)
     if fast:
-        _fast_feed(parser, text)
-        while parser.stack:
-            parser._pop_close()
+        _fast_feed(walker, text)
+        walker.edge_eof()
     else:
+        parser = _EdgeParser(walker)
         parser.feed(text)
         parser.close()
 
