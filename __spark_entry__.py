@@ -12,6 +12,7 @@ reproducible in ANSI SQL for six formats.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -102,6 +103,24 @@ def _stream_input_once(df: "DataFrame", variant: str, sf: str,
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         df.coalesce(n_files).write.mode("overwrite").parquet(path)
     return path
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: str = "8"):
+    """Scope the shuffle-bearing stream queries to a small state-store
+    count. Bench-scale stream inputs (thousands of conversations) don't
+    need CPUS*2 state stores — 8 partitions cut the micro-batch engine's
+    per-run fixed cost ~1.9 s and its worst-case tail (38 -> 4 s,
+    interleaved A/B at sf0.1). Partition count is an ops knob, not a
+    correctness one (groupBy(conv_id)/window results are partition-
+    invariant); a production stream sizes it to the cluster. The session
+    value is restored on exit."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _converted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,19 +629,22 @@ def _q_stream_stateful_dedup(spark, sf):
     # the only ordering the operator needs (it sorts per group anyway)
     inp = _stream_input_once(t.union(dups), "stateful", sf, n_files=1)
 
-    q = (
-        stateful_turn_dedup(read_transcripts_stream(spark, inp))
-        .writeStream.foreachBatch(
-            lambda df, _e: df.write.mode("append").parquet(sink)
+    with _stream_shuffle(spark):
+        q = (
+            stateful_turn_dedup(read_transcripts_stream(spark, inp))
+            .writeStream.foreachBatch(
+                lambda df, _e: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_stateful_dedup did not finish in 300s")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_stateful_dedup did not finish in 300s"
+            )
     return spark.read.parquet(sink).select(
         "conv_id", "turn_idx", "content_md5", "is_dup", "n_seen"
     )
@@ -661,20 +683,23 @@ def _q_stream_windowed_metrics(spark, sf):
     inp = _stream_input_once(t, "metrics", sf, n_files=1)
 
     met = metrics_stream(convert_stream(read_transcripts_stream(spark, inp)))
-    q = (
-        met.writeStream.foreachBatch(
-            lambda df, _e: df.write.mode("overwrite").parquet(sink)
+    with _stream_shuffle(spark):
+        q = (
+            met.writeStream.foreachBatch(
+                lambda df, _e: df.write.mode("overwrite").parquet(sink)
+            )
+            # complete mode: the final micro-batch emits every window,
+            # including those the watermark hasn't closed yet
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        # complete mode: the final micro-batch emits every window,
-        # including those the watermark hasn't closed yet
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_windowed_metrics did not finish in 300s")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_windowed_metrics did not finish in 300s"
+            )
     return spark.read.parquet(sink).select(
         F.unix_timestamp("window_start").alias("window_start"),
         "fmt", "n_turns", "bytes_in", "chars_out", "n_failures",

@@ -809,7 +809,7 @@ def convert_xlsx(
                 base = r << 32
                 vals = [get(base | c, empty) for c in cols]
                 md_parts.append(
-                    "| " + " | ".join(escape_cell(v) for v in vals) + " |\n"
+                    "| " + " | ".join(map(escape_cell, vals)) + " |\n"
                 )
                 plain_parts.append("\t".join(vals))
                 plain_parts.append("\n")
