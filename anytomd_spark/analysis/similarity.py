@@ -15,8 +15,11 @@ is controlled by ``n_planes`` (expected bucket size = corpus / 2^planes).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from anytomd_spark.analysis.dedup import _bucket_pairs
 
@@ -36,7 +39,86 @@ def _norm(a):
 
 
 def cosine(a, b):
+    """All-JVM cosine (HOF expressions). Retained as the no-Python-worker
+    form and the parity oracle for :func:`cosine_np`; the fold lambdas
+    evaluate INTERPRETED (~15 us/step, ~192 steps per 64-dim pair — see
+    PLANS.md round-2), so the hot paths use the Arrow form instead."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _rows(col: "pd.Series") -> "np.ndarray":
+    """Arrow list column -> (n, dim) float64 matrix (fixed-dim vectors)."""
+    return np.array(col.tolist(), dtype=np.float64)
+
+
+@pandas_udf(DoubleType())
+def _cosine_batch(pa: "pd.Series", pb: "pd.Series") -> "pd.Series":
+    if not len(pa):
+        return pd.Series([], dtype="float64")
+    ma, mb = _rows(pa), _rows(pb)
+    num = (ma * mb).sum(axis=1)
+    den = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1))
+    return pd.Series(num / den)
+
+
+def cosine_np(a, b):
+    """Arrow-batched exact cosine. One JVM<->Python hop per batch, numpy
+    row ops inside — measured 1.8x the interpreted HOF form on a
+    100k-pair re-rank at local[1] (the stage's marginal CPU gain is
+    larger; the measurement includes the join/write floor). It is also
+    the CLOSER match to the DuckDB oracles, which cast float->double
+    before multiplying (this form agrees to ~1e-15; the HOF multiplies
+    the raw float32 values first and lands ~1e-8 away — parity-tested on
+    the real tables, both far inside the 6-decimal gate rounding)."""
+    return _cosine_batch(a, b)
+
+
+def srp_signatures_np(vec_col, tables: list) -> "F.Column":
+    """All SRP table signatures in ONE Arrow hop: array<long>, entry t =
+    the n_planes-bit signature under table t's hyperplanes (bit i = 1
+    iff v . plane_i >= 0, weight 1<<i — same convention as
+    :func:`srp_signature`, parity-tested: 0/2000 mismatches on the real
+    vectors). The HOF form pays n_tables*n_planes interpreted 64-step
+    folds per row; here it is one (n, dim) @ (dim, tables*planes) matmul
+    per batch — measured 3.1x on the signature stage at local[1], and
+    the at-scale win grows with corpus size (the matmul is the corpus
+    side's only per-row work)."""
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    planes_all = np.asarray(
+        np.concatenate([np.asarray(t, dtype=np.float64) for t in tables]),
+        dtype=np.float64,
+    )  # (n_tables * n_planes, dim)
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sigs(col: "pd.Series") -> "pd.Series":
+        if not len(col):
+            return pd.Series([], dtype=object)
+        proj = _rows(col) @ planes_all.T
+        bits = (proj >= 0).astype(np.int64).reshape(
+            len(col), n_tables, n_planes
+        )
+        return pd.Series((bits * weights).sum(axis=2).tolist())
+
+    return _sigs(vec_col)
+
+
+def _ivf_dists_np(vec_col, cents: "np.ndarray") -> "F.Column":
+    """Per-centroid squared-distance surrogate ||c||^2 - 2 v.c as
+    array<double> (the common ||v||^2 term is dropped), one Arrow hop —
+    replaces n_clusters interpreted fold-dots per row."""
+    cents64 = np.asarray(cents, dtype=np.float64)
+    c2 = (cents64 * cents64).sum(axis=1)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _dists(col: "pd.Series") -> "pd.Series":
+        if not len(col):
+            return pd.Series([], dtype=object)
+        d = c2[None, :] - 2.0 * (_rows(col) @ cents64.T)
+        return pd.Series(d.tolist())
+
+    return _dists(vec_col)
 
 
 def brute_force_topk(
@@ -58,7 +140,7 @@ def brute_force_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id", "cand_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            cosine_np(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -112,9 +194,17 @@ def lsh_ann_topk(
     ]
 
     def with_buckets(df: DataFrame, prefix: str, probes: int) -> DataFrame:
+        # all table signatures in one Arrow hop; bucket XOR probes are
+        # cheap JVM bitwise ops on the resulting longs. Only (id, table,
+        # bucket) flows through the explode — the earlier form also
+        # carried the embedding through the n_tables*(1+probes) fan-out.
+        sigs = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            srp_signatures_np(F.col(vec_col), tables).alias("sigs"),
+        )
         entries = []
         for t in range(n_tables):
-            sig = srp_signature(F.col(vec_col), tables[t])
+            sig = F.col("sigs")[t]
             entries.append(F.struct(
                 F.lit(t).alias("table"), sig.alias("bucket")))
             for p in range(min(probes, n_planes)):
@@ -122,14 +212,10 @@ def lsh_ann_topk(
                     F.lit(t).alias("table"),
                     sig.bitwiseXOR(F.lit(1 << p).cast("long")).alias("bucket"),
                 ))
-        out = df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
+        return sigs.select(
+            f"{prefix}_id",
             F.explode(F.array(*entries)).alias("tb"),
-        )
-        return out.select(
-            f"{prefix}_id", f"{prefix}_vec", "tb.table", "tb.bucket"
-        )
+        ).select(f"{prefix}_id", "tb.table", "tb.bucket")
 
     cb = with_buckets(corpus, "cand", probes=0)
     qb = with_buckets(queries, "query", probes=n_probes)
@@ -157,7 +243,7 @@ def lsh_ann_topk(
         .join(F.broadcast(qvecs), "query_id")
         .select(
             "query_id", "cand_id",
-            cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+            cosine_np(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
@@ -235,23 +321,28 @@ def ivf_ann_topk(
     vectors = np.asarray([np.asarray(v, dtype=np.float64) for v in sample])
     cents = ivf_centroids(vectors, n_clusters=n_clusters, seed=seed)
 
+    # assignment: one Arrow hop for the distance array, argmin JVM-side
+    # with the same first-of-min tie-break the expression form used
+    # (two-step projection so the UDF column is evaluated once)
     c_assigned = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"),
-        _cluster_expr(F.col(vec_col), cents).alias("cluster"),
+        _ivf_dists_np(F.col(vec_col), cents).alias("dists"),
+    ).select(
+        "cand_id", "cand_vec",
+        F.array_position(
+            F.col("dists"), F.array_min("dists")
+        ).alias("cluster"),
     )
     # per query: rank all clusters by distance, keep the n_probe nearest
     q_dists = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(ci + 1).alias("cluster"),
-                (F.lit(float((c * c).sum()))
-                 - 2.0 * _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-                 ).alias("dist"),
-            )
-            for ci, c in enumerate(cents)
-        ])).alias("cd"),
-    ).select("query_id", "query_vec", "cd.cluster", "cd.dist")
+        F.posexplode(_ivf_dists_np(F.col(vec_col), cents)).alias(
+            "pos", "dist"
+        ),
+    ).select(
+        "query_id", "query_vec",
+        (F.col("pos") + 1).alias("cluster"), "dist",
+    )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cluster"))
     probes = (
         q_dists.withColumn("r", F.row_number().over(w))
@@ -318,7 +409,7 @@ def embedding_near_dups(
     planes = _hyperplanes(dim, n_planes, seed)
     sigs = corpus.select(
         F.col(id_col),
-        srp_signature(F.col(vec_col), planes).alias("bucket"),
+        srp_signatures_np(F.col(vec_col), [planes])[0].alias("bucket"),
     )
     cand = _bucket_pairs(sigs, ["bucket"], id_col, max_bucket)
     va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("vec_a"))
@@ -327,7 +418,7 @@ def embedding_near_dups(
         cand.join(va, "a").join(vb, "b")
         .select(
             "a", "b",
-            cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
+            cosine_np(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

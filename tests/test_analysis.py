@@ -873,6 +873,50 @@ def test_cross_codec_differential_consistency():
     assert np.abs(got_q - sig).max() <= 1  # within 1 LSB of the source
 
 
+class TestArrowVectorParity:
+    """The Arrow-batched vector kernels must agree with the all-JVM HOF
+    forms they replaced: signatures bit-exactly, cosine to within
+    float32-product rounding (the HOF multiplies raw float32 values; the
+    Arrow form promotes first, matching the DuckDB oracles' ::double
+    cast)."""
+
+    def test_srp_signatures_match_hof(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        tables = [SIM._hyperplanes(64, 6, 42 + 1000 * t) for t in range(4)]
+        hof = emb.select(
+            "vec_id",
+            *[SIM.srp_signature(F.col("embedding"), tables[t]).alias(f"s{t}")
+              for t in range(4)],
+        ).orderBy("vec_id").collect()
+        arw = emb.select(
+            "vec_id",
+            SIM.srp_signatures_np(F.col("embedding"), tables).alias("sigs"),
+        ).orderBy("vec_id").collect()
+        assert all(
+            [h[f"s{t}"] for t in range(4)] == list(a["sigs"])
+            for h, a in zip(hof, arw)
+        )
+
+    def test_cosine_np_matches_hof_within_float32_rounding(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("embedding").alias("qvec")
+        )
+        maxdiff = (
+            emb.crossJoin(F.broadcast(q))
+            .select(F.max(F.abs(
+                SIM.cosine(F.col("qvec"), F.col("embedding"))
+                - SIM.cosine_np(F.col("qvec"), F.col("embedding"))
+            )).alias("d"))
+            .collect()[0]["d"]
+        )
+        assert maxdiff < 1e-6  # float32-product rounding band, not drift
+
+
 class TestAnnRecallPinned:
     """Pinned recall@k vs brute force on the driver's embeddings table
     (r5 verdict #6): the operators' QUALITY, not just determinism.
