@@ -47,18 +47,51 @@ def cosine(a, b):
 
 
 def _rows(col: "pd.Series") -> "np.ndarray":
-    """Arrow list column -> (n, dim) float64 matrix (fixed-dim vectors)."""
+    """Arrow list column -> (n, dim) float64 matrix (fixed-dim vectors).
+
+    Raises TypeError/ValueError on null or ragged rows — callers catch
+    and take a per-row fallback so one malformed embedding degrades that
+    ROW (null result), never the stage (the HOF forms it replaced also
+    degraded per-row)."""
     return np.array(col.tolist(), dtype=np.float64)
+
+
+def _vec_or_none(v, dim: int | None = None) -> "np.ndarray | None":
+    """Row fallback coercion: a conforming vector as float64, else None
+    (null row, wrong length, non-sequence, or null/non-numeric
+    elements)."""
+    try:
+        if v is None or (dim is not None and len(v) != dim):
+            return None
+        return np.asarray(v, dtype=np.float64)
+    except (TypeError, ValueError):
+        return None
 
 
 @pandas_udf(DoubleType())
 def _cosine_batch(pa: "pd.Series", pb: "pd.Series") -> "pd.Series":
     if not len(pa):
         return pd.Series([], dtype="float64")
-    ma, mb = _rows(pa), _rows(pb)
-    num = (ma * mb).sum(axis=1)
-    den = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1))
-    return pd.Series(num / den)
+    try:
+        ma, mb = _rows(pa), _rows(pb)
+        num = (ma * mb).sum(axis=1)
+        den = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1))
+        return pd.Series(num / den)
+    except (TypeError, ValueError):
+        # null / ragged / mismatched row in the batch: per-row fallback,
+        # None for the bad rows (null cosine, like the HOF form)
+        out = []
+        for a, b in zip(pa.tolist(), pb.tolist()):
+            va = _vec_or_none(a)
+            vb = _vec_or_none(b)
+            if va is None or vb is None or len(va) != len(vb):
+                out.append(None)
+                continue
+            out.append(float(
+                (va * vb).sum()
+                / (np.sqrt((va * va).sum()) * np.sqrt((vb * vb).sum()))
+            ))
+        return pd.Series(out, dtype=object)
 
 
 def cosine_np(a, b):
@@ -95,11 +128,27 @@ def srp_signatures_np(vec_col, tables: list) -> "F.Column":
     def _sigs(col: "pd.Series") -> "pd.Series":
         if not len(col):
             return pd.Series([], dtype=object)
-        proj = _rows(col) @ planes_all.T
-        bits = (proj >= 0).astype(np.int64).reshape(
-            len(col), n_tables, n_planes
-        )
-        return pd.Series((bits * weights).sum(axis=2).tolist())
+        try:
+            proj = _rows(col) @ planes_all.T
+            bits = (proj >= 0).astype(np.int64).reshape(
+                len(col), n_tables, n_planes
+            )
+            return pd.Series((bits * weights).sum(axis=2).tolist())
+        except (TypeError, ValueError):
+            # null/ragged row: all-zero signatures for it (the HOF form's
+            # null-dot bits resolved to 0 -> signature 0), fast path for
+            # the conforming rows
+            zero = [0] * n_tables
+            out = []
+            for v in col.tolist():
+                vec = _vec_or_none(v, planes_all.shape[1])
+                if vec is None:
+                    out.append(zero)
+                    continue
+                p = vec @ planes_all.T
+                b = (p >= 0).astype(np.int64).reshape(n_tables, n_planes)
+                out.append((b * weights).sum(axis=1).tolist())
+            return pd.Series(out, dtype=object)
 
     return _sigs(vec_col)
 
@@ -115,8 +164,21 @@ def _ivf_dists_np(vec_col, cents: "np.ndarray") -> "F.Column":
     def _dists(col: "pd.Series") -> "pd.Series":
         if not len(col):
             return pd.Series([], dtype=object)
-        d = c2[None, :] - 2.0 * (_rows(col) @ cents64.T)
-        return pd.Series(d.tolist())
+        try:
+            d = c2[None, :] - 2.0 * (_rows(col) @ cents64.T)
+            return pd.Series(d.tolist())
+        except (TypeError, ValueError):
+            # null/ragged row: null distance array (-> null cluster /
+            # no probe rows, i.e. that row drops out), fast path for the
+            # conforming rows
+            out = []
+            for v in col.tolist():
+                vec = _vec_or_none(v, cents64.shape[1])
+                if vec is None:
+                    out.append(None)
+                    continue
+                out.append((c2 - 2.0 * (vec @ cents64.T)).tolist())
+            return pd.Series(out, dtype=object)
 
     return _dists(vec_col)
 
@@ -284,7 +346,10 @@ def ivf_centroids(
 def _cluster_expr(vec_col, cents: "np.ndarray"):
     """1-based index of the nearest centroid, as column expressions:
     argmin over ||v||^2 - 2 v.c + ||c||^2 (the ||v||^2 term is common to
-    all clusters and dropped)."""
+    all clusters and dropped). All-JVM form retained as the parity
+    oracle for the live :func:`_ivf_dists_np` + array_position path
+    (tests/test_analysis.py::TestArrowVectorParity) and for clusters
+    that must avoid Python workers."""
     dists = []
     for c in cents:
         lit = F.array(*[F.lit(float(x)) for x in c])
@@ -354,7 +419,7 @@ def ivf_ann_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id", "cand_id",
-            cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+            cosine_np(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))

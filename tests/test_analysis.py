@@ -899,6 +899,100 @@ class TestArrowVectorParity:
             for h, a in zip(hof, arw)
         )
 
+    def test_ivf_assignment_matches_cluster_expr(self, spark):
+        # the live Arrow-dists + array_position assignment must agree
+        # with the all-JVM _cluster_expr form (same first-of-min
+        # tie-break) on the real vectors
+        import numpy as np
+
+        from anytomd_spark.analysis.similarity import (
+            _cluster_expr,
+            _ivf_dists_np,
+            ivf_centroids,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        )
+        sample = emb.orderBy("vec_id").limit(256).select(
+            "embedding"
+        ).toPandas()["embedding"]
+        vectors = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in sample]
+        )
+        cents = ivf_centroids(vectors, n_clusters=8, seed=11)
+        hof = emb.select(
+            "vec_id", _cluster_expr(F.col("embedding"), cents).alias("c")
+        ).orderBy("vec_id").collect()
+        arw = emb.select(
+            "vec_id", _ivf_dists_np(F.col("embedding"), cents).alias("d")
+        ).select(
+            "vec_id",
+            F.array_position(F.col("d"), F.array_min("d")).alias("c"),
+        ).orderBy("vec_id").collect()
+        assert [r["c"] for r in hof] == [r["c"] for r in arw]
+
+    def test_vector_kernels_degrade_per_row_on_bad_vectors(self, spark):
+        # one null / ragged / inner-null embedding must degrade that ROW
+        # (null cosine, zero signature, null dists), never the stage —
+        # the behavior the HOF forms had
+        from anytomd_spark.analysis.similarity import (
+            _hyperplanes,
+            _ivf_dists_np,
+            cosine_np,
+            srp_signatures_np,
+        )
+
+        good = [float(i + 1) for i in range(8)]
+        rows = [
+            (0, good),
+            (1, None),
+            (2, good[:4]),             # ragged
+            (3, [1.0, None] + good[:6]),  # inner null
+            (4, good),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        cos = {
+            r.vec_id: r.c
+            for r in df.select(
+                "vec_id",
+                cosine_np(F.col("embedding"), F.col("embedding")).alias("c"),
+            ).collect()
+        }
+        assert cos[0] == pytest.approx(1.0) and cos[4] == pytest.approx(1.0)
+        assert cos[1] is None and cos[3] is None
+        assert cos[2] == pytest.approx(1.0)  # ragged-but-consistent pair
+
+        tables = [_hyperplanes(8, 4, 1), _hyperplanes(8, 4, 1001)]
+        sigs = {
+            r.vec_id: list(r.s)
+            for r in df.select(
+                "vec_id",
+                srp_signatures_np(F.col("embedding"), tables).alias("s"),
+            ).collect()
+        }
+        assert sigs[0] == sigs[4] and len(sigs[0]) == 2
+        assert sigs[1] == [0, 0] and sigs[2] == [0, 0] and sigs[3] == [0, 0]
+
+        import numpy as np
+
+        cents = np.asarray([good, [0.0] * 8])
+        dists = {
+            r.vec_id: r.d
+            for r in df.select(
+                "vec_id",
+                _ivf_dists_np(F.col("embedding"), cents).alias("d"),
+            ).collect()
+        }
+        assert dists[0] is not None and len(dists[0]) == 2
+        assert dists[1] is None and dists[2] is None
+        # inner null reaches pandas as NaN: the fast path computes NaN
+        # dists, which come back as null ELEMENTS — array_min/argmin and
+        # the probe window both drop the row downstream, same net effect
+        assert dists[3] == [None, None]
+
     def test_cosine_np_matches_hof_within_float32_rounding(self, spark):
         from pyspark.sql import functions as F
 
