@@ -244,9 +244,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage)."""
-    sets = docs.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(tokenize(text_col), shingle_n)).alias("sh"),
+    # shingle ONLY the docs candidate pairs reference: the sets subtree
+    # executes once per join side (Spark re-runs it under each alias),
+    # so without this semi-join the verify stage tokenizes + shingles
+    # the ENTIRE corpus twice even when candidates touch a few percent
+    # of it — the at-scale cost of the stage must follow |candidates|,
+    # not |corpus|. AQE broadcasts the id set when it is small.
+    pair_ids = pairs.select(F.col("a").alias(id_col)).union(
+        pairs.select(F.col("b").alias(id_col))
+    ).distinct()
+    sets = (
+        docs.join(pair_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                word_shingles(tokenize(text_col), shingle_n)
+            ).alias("sh"),
+        )
     )
     a = sets.alias("sa")
     b = sets.alias("sb")
