@@ -221,7 +221,13 @@ def _verified_pairs(spark, sf):
     key = (spark.sparkContext.applicationId, sf)
     if key not in _VERIFIED_PAIRS_CACHE:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        cand = DD.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+        # persist the candidate set: the verify stage consumes the pairs
+        # plan twice (candidate-id semi-join + the verify join), and this
+        # plan is the full corpus-wide minhash pipeline; the pair table
+        # itself is tiny (ids only, capped buckets)
+        cand = DD.minhash_lsh_candidates(
+            docs, num_hashes=16, bands=4
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         verified = DD.ngram_jaccard_pairs(docs, cand, threshold=0.5)
         _VERIFIED_PAIRS_CACHE[key] = verified.persist(
             StorageLevel.MEMORY_AND_DISK

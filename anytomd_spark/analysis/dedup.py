@@ -250,8 +250,11 @@ def ngram_jaccard_pairs(
     # the ENTIRE corpus twice even when candidates touch a few percent
     # of it — the at-scale cost of the stage must follow |candidates|,
     # not |corpus|. AQE broadcasts the id set when it is small.
-    pair_ids = pairs.select(F.col("a").alias(id_col)).union(
-        pairs.select(F.col("b").alias(id_col))
+    # one traversal of the pairs plan for the id set (a union of two
+    # selects would re-execute it; pairs may itself be an expensive
+    # candidate pipeline — see _verified_pairs)
+    pair_ids = pairs.select(
+        F.explode(F.array("a", "b")).alias(id_col)
     ).distinct()
     sets = (
         docs.join(pair_ids, id_col, "left_semi")

@@ -42,7 +42,13 @@ def cosine(a, b):
     """All-JVM cosine (HOF expressions). Retained as the no-Python-worker
     form and the parity oracle for :func:`cosine_np`; the fold lambdas
     evaluate INTERPRETED (~15 us/step, ~192 steps per 64-dim pair — see
-    PLANS.md round-2), so the hot paths use the Arrow form instead."""
+    PLANS.md round-2), so the hot paths use the Arrow form instead.
+
+    Parity scope: FINITE vectors. On a NaN component this form yields
+    NaN (which Spark orders above every real value in a desc sort) where
+    cosine_np yields NULL (excluded by the operators' degraded-row
+    filter) — the Arrow behavior is the contract; don't rank on raw
+    NaN-bearing data with this form."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -111,7 +117,10 @@ def srp_signatures_np(vec_col, tables: list) -> "F.Column":
     the n_planes-bit signature under table t's hyperplanes (bit i = 1
     iff v . plane_i >= 0, weight 1<<i — same convention as
     :func:`srp_signature`, parity-tested: 0/2000 mismatches on the real
-    vectors). The HOF form pays n_tables*n_planes interpreted 64-step
+    vectors; parity scope is FINITE vectors — on a NaN component numpy's
+    nan>=0 is False (bit 0) where Spark's NaN-ordering makes the HOF bit
+    1, so mixed JVM/Arrow deployments must not persist signatures of
+    NaN-bearing data). The HOF form pays n_tables*n_planes interpreted 64-step
     folds per row; here it is one (n, dim) @ (dim, tables*planes) matmul
     per batch — measured 3.1x on the signature stage at local[1], and
     the at-scale win grows with corpus size (the matmul is the corpus
@@ -204,6 +213,11 @@ def brute_force_topk(
             "query_id", "cand_id",
             cosine_np(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
         )
+        # degraded-row contract, shared with the ANN operators: pairs
+        # whose cosine is undefined (null/ragged embedding) are EXCLUDED
+        # rather than emitted with a null score — so exact and
+        # approximate top-k agree on per-query coverage
+        .filter(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id")

@@ -43,7 +43,8 @@ def build_table(headers: list[str], rows: list[list[str]]) -> str:
     append = parts.append
     for row in rows:
         if len(row) != col_count:  # pad/truncate off the hot path
-            row = row[:col_count] + [""] * (col_count - len(row))
+            # list() first: rows may be any sequence (tuples included)
+            row = list(row[:col_count]) + [""] * (col_count - len(row))
         append("| " + " | ".join(map(esc, row)) + " |\n")
     return "".join(parts)
 
@@ -57,7 +58,7 @@ def build_table_plain(headers: list[str], rows: list[list[str]]) -> str:
     append = out.append
     for row in rows:
         if len(row) != col_count:
-            row = row[:col_count] + [""] * (col_count - len(row))
+            row = list(row[:col_count]) + [""] * (col_count - len(row))
         append("\t".join(row))
         append("\n")
     return "".join(out)

@@ -993,6 +993,26 @@ class TestArrowVectorParity:
         # the probe window both drop the row downstream, same net effect
         assert dists[3] == [None, None]
 
+    def test_brute_force_excludes_degraded_rows_like_ann(self, spark):
+        # shared degraded-row contract: a null/ragged embedding yields
+        # NO output rows for that query/candidate in brute force, the
+        # same coverage the ANN operators give (IVF's null dists emit no
+        # probe rows; LSH buckets of a null sig never re-rank)
+        good = [float(i + 1) for i in range(8)]
+        rows = [(0, good), (1, [2.0 * x for x in good]),
+                (2, None), (3, good[:3])]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = SIM.brute_force_topk(
+            emb, emb.filter(F.col("vec_id").isin(0, 2)), k=4
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, set()).add(r.cand_id)
+        assert by_q.get(0) == {1}      # only the conforming candidate
+        assert 2 not in by_q           # malformed query: no rows at all
+
     def test_cosine_np_matches_hof_within_float32_rounding(self, spark):
         from pyspark.sql import functions as F
 

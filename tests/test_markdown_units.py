@@ -62,6 +62,13 @@ class TestBuildTable:
     def test_plain_pipes_preserved(self):
         assert "echo | grep" in build_table_plain(["Cmd"], [["echo | grep"]])
 
+    def test_tuple_rows_accepted(self):
+        # rows may be any sequence (the pre-r6 index loop accepted
+        # tuples); the pad/truncate fast path must keep that contract
+        assert "| 1 |  |" in build_table(["A", "B"], [("1",)])
+        assert "| 1 | 2 |" in build_table(["A", "B"], [("1", "2")])
+        assert build_table_plain(["A", "B"], [("1",)]) == "A\tB\n1\t\n"
+
 
 class TestFormatting:
     def test_heading_clamps(self):
