@@ -101,11 +101,32 @@ def main() -> None:
     # Interleaving cancels slow host-state drift; the median rejects
     # one-off stalls.
     n_samples = int(os.environ.get("SPARK_GRAFT_CONVERT_SAMPLES", "3"))
-    bench_convert(spark, transcripts_path)  # warmup (JIT + page cache)
+    # adaptive warmup: one leg always; if the host is recovering from
+    # prior load (page cache, JIT, co-tenant steal) a single warmup leg
+    # leaves the first measured samples inflated, so keep warming (max 3
+    # legs) until two consecutive warmup legs agree within 25%
+    prev = bench_convert(spark, transcripts_path)[0]
+    for _ in range(2):
+        cur = bench_convert(spark, transcripts_path)[0]
+        if abs(cur - prev) <= 0.25 * min(cur, prev):
+            break
+        prev = cur
     plain, salted = [], []
     n_turns = 0
     for _ in range(n_samples):
         sec, n_turns = bench_convert(spark, transcripts_path)
+        plain.append(sec)
+        sec, _ = bench_convert(spark, transcripts_path, salted=True)
+        salted.append(sec)
+    # adaptive extension: a >1.5x max/min spread on identical work means
+    # the window is drifting — take up to 2 more interleaved rounds so
+    # the median sits on more evidence. Extra rounds cost wall-clock
+    # only (the reported value is the median); every sample is disclosed.
+    for _ in range(2):
+        if (max(plain) <= 1.5 * min(plain)
+                and max(salted) <= 1.5 * min(salted)):
+            break
+        sec, _ = bench_convert(spark, transcripts_path)
         plain.append(sec)
         sec, _ = bench_convert(spark, transcripts_path, salted=True)
         salted.append(sec)
@@ -137,6 +158,16 @@ def main() -> None:
     for _ in range(rounds - 1):
         for n in slow:
             samples[n].append(run_query(n, qs[n]))
+    # adaptive extension (same rationale as the convert legs): queries
+    # whose samples still spread >2x get up to 2 more interleaved
+    # rounds; wall-clock-only cost, medians on more evidence
+    for _ in range(2):
+        drifting = [n for n in slow
+                    if max(samples[n]) > 2.0 * min(samples[n])]
+        if not drifting:
+            break
+        for n in drifting:
+            samples[n].append(run_query(n, qs[n]))
     for name in qs:
         timings[name] = round(statistics.median(samples[name]), 3)
 
@@ -153,6 +184,9 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "turns": n_turns,
         "turns_per_sec": round(n_turns / convert_sec, 1),
+        # machine capability on this window: the fastest clean sample
+        # (timeit-style min — least contaminated by co-tenant steal)
+        "turns_per_sec_best": round(n_turns / min(plain), 1),
         "cpus": CPUS,
         "convert_samples": {
             "plain": [round(s, 3) for s in plain],
