@@ -24,14 +24,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "400000"))
-# Default pair N=2 / 4N=8: on this 32-core VM, per-core CPU speed itself
-# drops ~26% between 8 and 32 active cores (measured with a pure-Python
-# multiprocessing control running the same kernels — no Spark involved),
-# which caps any framework's measurable 8->32 efficiency near 0.74. With
-# both legs well under host capacity (2 and 8 task slots), per-core speed
-# is constant (2406 vs 2343 docs/s/core in the control) and the
-# measurement isolates the FRAMEWORK's scaling, which is what the
-# criterion is about. Set SPARK_GRAFT_SCALE_N/4N to run other pairs.
+# Default pair N=2 / 4N=8: on 32-core sandbox VMs, per-core CPU speed
+# itself drops with the number of ACTIVE cores (turbo/SMT/steal — ~26%
+# between 8 and 32 on the round-5 VM), which caps any framework's
+# measurable 8->32 efficiency well below 1. With both legs under host
+# capacity (2 and 8 task slots) the drop is small and the measurement
+# isolates the FRAMEWORK's scaling, which is what the criterion is
+# about. Because the drop is VM-specific, :func:`host_control` measures
+# it AT RUN TIME (same kernels, multiprocessing, no Spark) and the
+# evidence block reports both raw and host-normalized efficiency.
+# Set SPARK_GRAFT_SCALE_N/4N to run other pairs.
 N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 N_LARGE = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"))
@@ -105,6 +107,52 @@ spark.stop()
     raise RuntimeError(f"no result line; stderr: {out.stderr[-2000:]}")
 
 
+# ---- host control: same kernels, multiprocessing, no Spark ------------
+#
+# Answers "how much of a sub-1.0 Spark efficiency is the SILICON, not the
+# framework?" in the same window as the Spark legs. Each worker converts
+# the identical deterministic sample batch; per-core rate = work/wall
+# with n busy cores. Fork inherits the parent's warm interpreter state
+# (imports, compiled regexes, the sample frame) so workers start hot.
+
+_CONTROL_PDF = None
+
+
+def _control_task(reps: int) -> float:
+    from anytomd_spark.batch import convert_batch
+
+    t0 = time.time()
+    for _ in range(reps):
+        convert_batch(_CONTROL_PDF)
+    return time.time() - t0
+
+
+def host_control(n_procs: int, n_rows: int = 2000, reps: int = 6,
+                 seed: int = 42) -> float:
+    """Kernel rows/s PER CORE with ``n_procs`` busy cores (no Spark)."""
+    global _CONTROL_PDF
+    import multiprocessing as mp
+
+    import numpy as np
+
+    from anytomd_spark.transcripts import conversation_sizes, generate_batch
+
+    if _CONTROL_PDF is None:
+        sizes = conversation_sizes(2000, seed, 10 ** 9, 2000)  # no megas
+        cum = np.cumsum(sizes)
+        _CONTROL_PDF = generate_batch(
+            np.arange(0, n_rows, dtype=np.int64), cum, seed
+        )
+        _control_task(1)  # parent warmup — forked workers inherit it
+    ctx = mp.get_context("fork")
+    t0 = time.time()
+    with ctx.Pool(n_procs) as pool:
+        pool.map(_control_task, [reps] * n_procs)
+    wall = time.time() - t0
+    # every worker does the same n_rows*reps; wall is the slowest worker
+    return n_rows * reps / wall
+
+
 def ensure_cache(n_convs: int) -> str:
     from anytomd_spark.pipeline import build_session
     from anytomd_spark.transcripts import generate_transcripts
@@ -145,6 +193,17 @@ def main() -> None:
     scale_factor = N_LARGE / N_SMALL
     efficiency = (tput_large / tput_small) / scale_factor
 
+    # same-window host control (interleaved, medians): how much per-core
+    # kernel speed the SILICON loses between N and 4N busy cores
+    ctrl_small, ctrl_large = [], []
+    for _ in range(2):
+        ctrl_small.append(host_control(N_SMALL))
+        ctrl_large.append(host_control(N_LARGE))
+    percore_small = statistics.median(ctrl_small)
+    percore_large = statistics.median(ctrl_large)
+    host_drop = percore_large / percore_small
+    efficiency_hostnorm = efficiency / host_drop if host_drop > 0 else None
+
     result = {
         "turns": small["turns"],
         f"sec_local{N_SMALL}": round(small["sec"], 2),
@@ -157,6 +216,12 @@ def main() -> None:
         f"samples_local{N_SMALL}": small_samples,
         f"samples_local{N_LARGE}": large_samples,
         "rounds": ROUNDS,
+        "host_control_rows_per_sec_per_core": {
+            f"{N_SMALL}_procs": round(percore_small, 1),
+            f"{N_LARGE}_procs": round(percore_large, 1),
+        },
+        "host_percore_retention": round(host_drop, 3),
+        "scaling_efficiency_hostnorm": round(efficiency_hostnorm, 3),
     }
     print(json.dumps(result))
 
@@ -174,12 +239,12 @@ confs except master, fresh JVM per leg with a 10%-slice warmup.
 {ROUNDS} INTERLEAVED (N, 4N) rounds — efficiency from per-leg medians;
 all wall-sec samples: N={small_samples} / 4N={large_samples}
 (best of {REPEATS} timed run(s) within each leg; sandbox substitute for
-N vs 4N executors; pinning={'on' if PIN else 'off'}). Host control: a pure-Python
-multiprocessing run of the same kernels (no Spark) measures per-core
-speed on this VM at 2406 (2 procs) / 2343 (8 procs) / 1929 (8 procs
-pinned) / 1431 (32 procs) docs/s — the hardware itself loses ~26%
-per-core from 8 to 32 active cores, so the N/4N pair is chosen inside
-the flat region to measure the framework, not the silicon:
+N vs 4N executors; pinning={'on' if PIN else 'off'}). Host control, measured in the
+SAME window (pure-Python multiprocessing over the same kernels, no
+Spark): per-core kernel speed {percore_small:,.0f} rows/s at {N_SMALL} busy cores vs
+{percore_large:,.0f} rows/s at {N_LARGE} — the silicon itself retains {host_drop:.3f} per-core,
+so that factor of any sub-1.0 raw efficiency is the VM (turbo/SMT/
+steal), not the framework:
 
 | master | wall sec | turns/sec |
 |---|---|---|
@@ -188,6 +253,7 @@ the flat region to measure the framework, not the silicon:
 
 efficiency = (throughput_{N_LARGE} / throughput_{N_SMALL}) / {scale_factor:.0f}
            = {efficiency:.3f}  (criterion >= 0.8: {'PASS' if efficiency >= 0.8 else 'FAIL'})
+host-normalized (framework-only) = {efficiency:.3f} / {host_drop:.3f} = {efficiency_hostnorm:.3f}
 """
         )
 
