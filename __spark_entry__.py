@@ -530,6 +530,23 @@ def _q_text_bpe_merges(spark, sf):
     return train_bpe(docs, n_merges=12)
 
 
+def _q_text_classifier(spark, sf):
+    """Trained quality classifier (analysis/classifier.py): hashed
+    bag-of-words logistic regression trained by full-batch GD over the
+    corpus — positives are the documents, negatives the word-reversed
+    perturbation (fastText-filter bootstrap). Feature build is
+    map-only; each epoch is one map-side-partial aggregation whose
+    single result row (the gradient) is the only driver
+    materialization. The oracle re-derives all 8 epochs in unrolled
+    DuckDB SQL and must match the per-document scores to 5 decimals —
+    hashing, sigmoid, gradient, update, tie-free by construction."""
+    from anytomd_spark.analysis.classifier import train_quality_classifier
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    _, scored = train_quality_classifier(docs)
+    return scored
+
+
 def _q_ingest_archives(spark, sf):
     """Archive-shard corpus ingestion (analysis/ingest.py), tar + zip in
     one archive-tagged union: tar/tar.gz shards open with stdlib
@@ -1188,13 +1205,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_archives": _q_ingest_archives,
         # distributed tokenizer training (iterative pair-merge)
         "text_bpe_merges": _q_text_bpe_merges,
+        # distributed trained quality filter (iterative GD)
+        "text_classifier": _q_text_classifier,
         # relational operator competence (stable since r2 — tail slots;
-        # rel_window_events was retired in r5 to stay at the driver's
-        # 50-row cap: events_sessionize + convert_turn_ordering already
-        # gate the same Window machinery, value-level)
+        # rel_window_events retired again to stay at the driver's
+        # 50-row cap, same grounds as its r5 retirement:
+        # events_sessionize + convert_turn_ordering gate the same
+        # Window machinery, value-level)
         "rel_agg_lineitem": _q_rel_agg_lineitem,
         "rel_join_topcustomers": _q_rel_join_topcustomers,
-        "rel_window_events": _q_rel_window_events,
         "events_sessionize": _q_events_sessionize,
     }
 
@@ -1395,6 +1414,75 @@ def _ivf_oracle(n_clusters: int = 8, n_probe: int = 3, k: int = 3,
         FROM scored
         QUALIFY rank <= {k}
     """
+
+
+def _classifier_oracle(dim: int = 64, epochs: int = 8,
+                       lr: float = 10.0, decimals: int = 5) -> str:
+    """DuckDB twin of _q_text_classifier: the whole GD training loop
+    unrolled into one SQL statement — per epoch a MATERIALIZED CTE for
+    the sigmoid probabilities against the previous weights, one for
+    the gradient (dim+1 SUM expressions over probability error times
+    feature), and one for the weight update. Feature hashing uses the
+    same literal 31**i power table as classifier.POWS (integer-exact,
+    no float pow — 31**11 exceeds the double mantissa). Zero-word
+    documents vanish at the unnest, matching the Spark side's explicit
+    filter. No code shared with the trainer."""
+    from anytomd_spark.analysis.classifier import (
+        EPOCHS, LEARNING_RATE, DIM, MAX_HASH_CHARS, POWS,
+    )
+
+    assert (dim, epochs, lr) == (DIM, EPOCHS, LEARNING_RATE)
+    pow_lit = "[" + ",".join(str(p) for p in POWS) + "]"
+    idx = (f"(list_sum(list_transform("
+           f"range(1, least(length(word),{MAX_HASH_CHARS})+1), "
+           f"i -> ascii(substr(word, i, 1)) * ({pow_lit}[i]))) % {dim})")
+    feat_elems = ",".join(
+        f"sum(CASE WHEN idx={i} THEN 1.0 ELSE 0.0 END)/greatest(count(*),1)"
+        for i in range(dim)
+    )
+    sql = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, 1 AS label, t.word AS word
+          FROM documents,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(word)
+          WHERE t.word <> ''
+          UNION ALL
+          SELECT doc_id, 0 AS label, reverse(t.word) AS word
+          FROM documents,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(word)
+          WHERE t.word <> ''
+        ),
+        hashed AS MATERIALIZED (
+          SELECT doc_id, label, {idx} AS idx FROM tok
+        ),
+        feat AS MATERIALIZED (
+          SELECT doc_id, label, [{feat_elems}, 1.0] AS x
+          FROM hashed GROUP BY doc_id, label
+        ),
+        w0(w) AS MATERIALIZED (SELECT [{",".join(["0.0"] * (dim + 1))}])"""
+    prev = "w0"
+    for e in range(1, epochs + 1):
+        grad = ",".join(f"sum((p - label) * x[{j + 1}])/count(*)"
+                        for j in range(dim + 1))
+        step = ",".join(f"wp.w[{j + 1}] - {lr} * gp.g[{j + 1}]"
+                        for j in range(dim + 1))
+        sql += f""",
+        p{e} AS MATERIALIZED (
+          SELECT f.label, f.x,
+                 1/(1+exp(-list_inner_product(f.x, wp.w))) AS p
+          FROM feat f, {prev} wp
+        ),
+        g{e}(g) AS MATERIALIZED (SELECT [{grad}] FROM p{e}),
+        w{e}(w) AS MATERIALIZED (SELECT [{step}] FROM {prev} wp, g{e} gp)"""
+        prev = f"w{e}"
+    sql += f"""
+        SELECT f.doc_id, f.label,
+               round(1/(1+exp(-list_inner_product(f.x, wp.w))),
+                     {decimals}) AS score,
+               CASE WHEN 1/(1+exp(-list_inner_product(f.x, wp.w))) > 0.5
+                    THEN 1 ELSE 0 END AS pred
+        FROM feat f, {prev} wp"""
+    return sql
 
 
 def _bpe_oracle(n_merges: int = 12) -> str:
@@ -2012,14 +2100,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "text_bpe_merges": _bpe_oracle(n_merges=12),
-        "rel_window_events": """
-            SELECT user_id, event_id, seq FROM (
-                SELECT user_id, event_id,
-                       row_number() OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id) AS seq
-                FROM events
-            ) WHERE seq <= 3
-        """,
+        "text_classifier": _classifier_oracle(),
         "events_sessionize": """
             WITH g AS (
                 SELECT user_id,
