@@ -82,6 +82,37 @@ def run_leg(leg: str, mult: int) -> None:
             "n_turns": n_turns, "sec": round(sec, 2),
             "turns_per_sec": round(n_turns / sec, 1),
         })
+    elif leg == "classifier":
+        # the iterative-GD trainer (r6): same cold + interleaved-median
+        # protocol; clearCache between rounds so each sample pays the
+        # full feature build + 8 epochs + scoring write, not a residue
+        # of the previous round's persisted feature table.
+        import statistics
+
+        from anytomd_spark.analysis.classifier import (
+            EPOCHS, train_quality_classifier,
+        )
+
+        sf_dir = _sf_dir_for(mult)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALEUP_ROUNDS", "3"))
+        samples = []
+        for i in range(rounds + 1):
+            t0 = time.time()
+            _, scored = train_quality_classifier(docs)
+            scored.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        cold_s, steady = samples[0], samples[1:]
+        med = statistics.median(steady)
+        out.update({
+            "sf_dir": sf_dir, "n_docs": n_docs, "epochs": EPOCHS,
+            "cold_first_pass": cold_s, "samples": steady,
+            "median_sec": round(med, 3),
+            "sec_per_epoch": round(med / EPOCHS, 3),
+            "docs_per_sec": round(n_docs / med, 1),
+        })
     else:
         import statistics
 
@@ -125,7 +156,8 @@ def run_leg(leg: str, mult: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--leg", choices=["convert", "analysis", "dedup"])
+    ap.add_argument("--leg",
+                    choices=["convert", "analysis", "dedup", "classifier"])
     ap.add_argument("--mult", type=int)
     ap.add_argument("--dedup-sweep", action="store_true",
                     help="dedup family at 1x/10x/100x (5k/50k/500k docs); "
