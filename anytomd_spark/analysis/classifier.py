@@ -234,6 +234,10 @@ def train_quality_classifier(
     import math
 
     sc = docs.sparkSession.sparkContext
+    # count BEFORE the spread-repartition: on the raw scan this is a
+    # column-pruned metadata-weight pass; after the repartition it
+    # would pay the scan + shuffle just to produce a scalar
+    n_rows = 2 * docs.count()
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
     feat = training_features(docs, text_col, id_col, dim)
@@ -247,7 +251,6 @@ def train_quality_classifier(
     # coalesce would run the expensive upstream feature build at the
     # collapsed width, while this shuffle moves only the dense vectors
     # (~(dim+2)*8 B/doc) and puts a stage boundary behind the build
-    n_rows = 2 * docs.count()
     target = max(1, math.ceil(n_rows / 100_000))
     if target < sc.defaultParallelism:
         feat = feat.repartition(target)
