@@ -578,44 +578,64 @@ class _Walker:
     # with no intermediate parser frame; the stdlib html.parser path
     # adapts through _EdgeParser onto the same methods.
 
+    # The per-event membership probes (void / implied-trigger / p-closer /
+    # capture + the open/close dispatch .get) are folded into ONE
+    # precomputed descriptor lookup: _TAG_INFO[tag] = (flags, open_h,
+    # close_h), built after the class body. Tags outside every set (span,
+    # font, ...) miss the dict entirely — the most common boilerplate
+    # events cost a single hash probe. Flag-order preserves the original
+    # semantics exactly: VOID wins before the implied check (so <hr>,
+    # though a _P_CLOSER, never closes an open <p> — html.rs parity), and
+    # capture/skip bookkeeping still runs before the skip_depth gate.
+
     def edge_starttag(self, tag: str, attrs: dict[str, str | None]) -> None:
-        if tag in VOID_ELEMENTS:
+        info = _TAG_INFO.get(tag)
+        if info is None:
+            # unknown element: no void/implied/capture semantics, no
+            # open action — stack discipline only
+            self.stack.append(tag)
+            return
+        flags, open_h, _close_h = info
+        if flags & 1:  # void
             self.handle_open(tag, attrs)
             self.handle_close(tag)
             return
-        if tag in _IMPLIED_TRIGGERS or (self._p_open and tag in _P_CLOSERS):
+        if flags & 2 or (self._p_open and flags & 4):
             self._close_implied_for(tag)
         self.stack.append(tag)
-        if tag == "p":
+        if flags & 16:  # <p>
             self._p_open += 1
         # handle_open, inlined (the hottest per-event call chain)
-        if tag in _CAPTURE_OR_SKIP:
+        if flags & 8:  # title/h1 capture + skip bookkeeping
             self.handle_open(tag, attrs)
             return
         if self.skip_depth > 0:
             return
-        handler = self._OPEN_DISPATCH.get(tag)
-        if handler is not None:
-            handler(self, tag, attrs)
+        if open_h is not None:
+            open_h(self, tag, attrs)
 
     def edge_endtag(self, tag: str) -> None:
-        if tag in VOID_ELEMENTS:
+        info = _TAG_INFO.get(tag)
+        if info is not None and info[0] & 1:  # void
             return
         stack = self.stack
         # fast path: well-formed HTML closes the top of the stack
         if stack and stack[-1] == tag:
             stack.pop()
-            if tag == "p":
+            if info is None:
+                return
+            flags = info[0]
+            if flags & 16:  # <p>
                 self._p_open -= 1
             # handle_close, inlined
-            if tag in _CAPTURE_OR_SKIP:
+            if flags & 8:
                 self.handle_close(tag)
                 return
             if self.skip_depth > 0:
                 return
-            handler = self._CLOSE_DISPATCH.get(tag)
-            if handler is not None:
-                handler(self, tag)
+            close_h = info[2]
+            if close_h is not None:
+                close_h(self, tag)
             return
         # scan from the top without building a reversed copy
         for i in range(len(stack) - 1, -1, -1):
@@ -701,6 +721,28 @@ def _render_table(tc: dict, plain: bool) -> str:
 
 
 _EMPTY_ATTRS: dict = {}
+
+
+def _build_tag_info() -> dict[str, tuple]:
+    """tag -> (flags, open_handler, close_handler) for every tag any
+    walker edge treats specially; tags outside every set miss the dict.
+    Flag bits: 1=void, 2=implied-end trigger, 4=p-closer, 8=capture/skip
+    bookkeeping, 16=<p> itself (open-p counter)."""
+    tags = (VOID_ELEMENTS | _IMPLIED_TRIGGERS | _P_CLOSERS
+            | _CAPTURE_OR_SKIP | _OPEN_TAGS | _CLOSE_TAGS)
+    info = {}
+    for t in tags:
+        flags = ((1 if t in VOID_ELEMENTS else 0)
+                 | (2 if t in _IMPLIED_TRIGGERS else 0)
+                 | (4 if t in _P_CLOSERS else 0)
+                 | (8 if t in _CAPTURE_OR_SKIP else 0)
+                 | (16 if t == "p" else 0))
+        info[t] = (flags, _Walker._OPEN_DISPATCH.get(t),
+                   _Walker._CLOSE_DISPATCH.get(t))
+    return info
+
+
+_TAG_INFO = _build_tag_info()
 
 
 class _EdgeParser(HTMLParser):
@@ -850,18 +892,21 @@ def _fast_feed(walker: "_Walker", text: str) -> None:
                     token = _unescape(token)
                 handle_text(token)
             elif li >= 2:
-                tag = m.group(2).lower()
-                attrs_raw = m.group(3)
+                # one .group call per token instead of three (arg parsing
+                # dominates Match.group at this call volume)
+                tag, attrs_raw, slash = m.group(2, 3, 4)
+                tag = tag.lower()
                 if attrs_raw:
                     attrs: dict = {}
                     for am in _ATTR_RE.finditer(attrs_raw):
-                        val = am.group(2) or am.group(3) or am.group(4)
+                        name, v1, v2, v3 = am.group(1, 2, 3, 4)
+                        val = v1 or v2 or v3
                         if val is not None and "&" in val:
                             val = _unescape(val)
-                        attrs[am.group(1).lower()] = val
+                        attrs[name.lower()] = val
                 else:
                     attrs = _EMPTY_ATTRS
-                if m.group(4):
+                if slash:
                     walker.handle_open(tag, attrs)
                     walker.handle_close(tag)
                 else:
