@@ -201,6 +201,19 @@ def main() -> None:
         "suite_first_pass_sec": first_pass,
     }
     spark.stop()
+    # same-window host control (scripts/run_scaling.py): pure-Python
+    # multiprocessing over the same kernels with all CPUS busy, no Spark.
+    # Lets a reader separate "the VM window was slow" from "the code got
+    # slower" when comparing turns_per_sec across runs — per-core kernel
+    # speed varies double-digit percent between windows on these VMs.
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from run_scaling import host_control
+        result["host_control_rows_per_sec_per_core"] = round(
+            host_control(CPUS), 1)
+    except Exception:  # the control must never fail the bench
+        pass
     print(json.dumps(result))
 
 
