@@ -144,6 +144,27 @@ class TestHtmlMarkdown:
         md = convert_html("<p>Line one<br>Line two</p>")["markdown"]
         assert "Line one\nLine two" in md
 
+    def test_html_void_hr_does_not_close_open_p(self):
+        # <hr> is both void and a WHATWG p-closer; the void branch wins
+        # (no implied </p>), so text after it still flows in the same <p>
+        md = convert_html("<p>a<hr>b</p>")["markdown"]
+        assert md == "a\n\n---\nb\n"
+
+    def test_html_void_end_tag_ignored(self):
+        # a stray </br> must not disturb the open-element stack
+        assert convert_html("<p>a</br>b</p>")["markdown"] == "ab\n"
+
+    def test_html_unknown_element_stack_discipline(self):
+        # unknown elements keep stack order (their close edge pops
+        # nothing extra; content inside still converts normally)
+        md = convert_html("<custom><p>x</p></custom><p>y</p>")["markdown"]
+        assert md == "x\n\ny\n"
+
+    def test_html_div_closes_open_p(self):
+        # non-void p-closer: <div> synthesizes the implied </p>
+        md = convert_html("<p>a<div>b</div>c</p>")["markdown"]
+        assert md == "a\n\nbc\n"
+
     def test_html_script_stripped(self):
         md = convert_html(
             "<p>Visible</p><script>alert('xss');</script><p>Also visible</p>"
