@@ -452,7 +452,13 @@ def _q_corpus_decontaminate(spark, sf):
     """Benchmark decontamination: every doc_id % 97 == 0 document plays
     the benchmark set; the rest of the corpus is flagged when it shares
     a 5-gram with any probe. Probe shingles broadcast; the corpus never
-    shuffles on content."""
+    shuffles on content. Stays on method='exact' — the round-6 Bloom
+    strategy (corpus.decontaminate(method='bloom'), value-identical by
+    construction) measured 6.8 s vs exact's 3.5 s at this shape and
+    lost at every sandbox-measurable scale; its win condition is
+    broadcast FEASIBILITY (constant-size bitmap vs a probe hash-set
+    that grows with the benchmark suite), not single-node wall time —
+    see PLANS.md round-6 session-6."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     probes = docs.filter(F.col("doc_id") % 97 == 0).select("text")
     scanned = docs.filter(F.col("doc_id") % 97 != 0)
