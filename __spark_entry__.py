@@ -211,7 +211,7 @@ _VERIFIED_PAIRS_CACHE: dict = {}
 def _verified_pairs(spark, sf):
     """Banded-LSH candidates + exact-Jaccard verification, persisted and
     shared across the cluster family (dedup_minhash_pairs /
-    dedup_clusters / dedup_cluster_survivors): each query stays
+    dedup_clusters): each query stays
     independently runnable, but within one session the ~8-10 s
     candidate pipeline is paid once (MEMORY_AND_DISK — the verified
     pair set is a few percent of the corpus, tiny next to its input).
@@ -255,20 +255,26 @@ def _q_dedup_simhash(spark, sf):
 
 def _q_dedup_clusters(spark, sf):
     """Connected components over the verified near-dup pairs (LSH
-    candidates -> exact-Jaccard verify -> union-find / star contraction):
-    (doc_id, cluster_id) with cluster_id = the component's minimum id.
+    candidates -> exact-Jaccard verify -> union-find / star contraction)
+    AND the survivor decision in one row per corpus document: cluster_id
+    = the component's minimum id (own id for singletons), is_survivor =
+    (doc_id == cluster_id). Round 6 merges the former
+    dedup_cluster_survivors query into this one — the two were a single
+    left join apart — freeing a driver slot for sim_semantic_dedup.
     Oracle: brute-force true near-dup pairs (proven equal to the LSH set
-    by the dedup_minhash_pairs gate) + a recursive-CTE closure."""
-    verified = _verified_pairs(spark, sf)
-    return DD.dedup_clusters(verified).withColumnRenamed("id", "doc_id")
-
-
-def _q_dedup_cluster_survivors(spark, sf):
-    """Corpus after cluster dedup: drop every cluster member except the
-    canonical minimum id (singletons survive implicitly)."""
+    by the dedup_minhash_pairs gate) + a recursive-CTE closure + the
+    same corpus left join."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    clusters = DD.dedup_clusters(_verified_pairs(spark, sf))
-    return DD.dedup_cluster_survivors(docs, clusters).select("doc_id")
+    clusters = DD.dedup_clusters(
+        _verified_pairs(spark, sf)
+    ).withColumnRenamed("id", "doc_id")
+    return docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_survivor"
+        ),
+    )
 
 
 def _q_dedup_shared_spans(spark, sf):
@@ -328,6 +334,28 @@ def _q_sim_embedding_near_dups(spark, sf):
     )
     out = SIM.embedding_near_dups(aug, threshold=0.999, n_planes=8)
     return out.select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _q_sim_semantic_dedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster-
+    scoped semantic dedup over the embeddings table augmented with exact
+    copies of vec_id < 10 (the sim_embedding_near_dups seeding) so
+    duplicate groups exist. Keep policy = least centroid-similar member
+    first; a member is a duplicate iff cosine >= 0.999 to any
+    earlier-ordered member of its cluster. The oracle regenerates the
+    centroids from the same bounded sample (the _ivf_oracle pattern) and
+    re-derives assignment, keep-order ranking, and the triangular
+    any-earlier-member test in SQL."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    aug = emb.select("vec_id", "embedding").union(
+        emb.filter(F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    out = SIM.semantic_dedup(aug, threshold=0.999, n_clusters=8)
+    return out.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"),
+        F.round("cent_sim", 6).alias("cent_sim"), "is_dup",
+    )
 
 
 def _q_text_token_stats(spark, sf):
@@ -1039,15 +1067,29 @@ SAMPLE_MIX_RATES = {f"src{i}": round(0.05 + 0.09 * i, 2) for i in range(10)}
 
 
 def _q_corpus_sample_mix(spark, sf):
-    """Deterministic per-source rate sampling (domain-mix curation):
-    sources src0..src9 kept at rates 0.05..0.86, src10+ dropped. Pure
-    map-side md5-prefix filter — the oracle re-applies the identical
-    thresholds in SQL, so membership (not just counts) is value-gated."""
-    from anytomd_spark.analysis.corpus import hash_sample
+    """Mixture sampling, both modes in one fmt-tagged union (the
+    convert/media consolidation trick):
+
+    * mode 'fixed' — per-source rate sampling (domain-mix curation):
+      sources src0..src9 kept at rates 0.05..0.86, src10+ dropped.
+    * mode 'temp' — temperature-based mixing (Conneau et al. 2020,
+      p_i ∝ n_i^0.5) over the skewed ``lang`` column: rates DERIVED
+      from the corpus counts (one bounded agg), then the same
+      zero-shuffle md5-prefix filter.
+
+    The oracle re-derives the temperature rates from counts entirely in
+    SQL (same expression shape, same truncating hex-threshold
+    conversion) and re-applies both modes' thresholds, so membership —
+    not just counts — is value-gated for both."""
+    from anytomd_spark.analysis.corpus import hash_sample, temperature_mix
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return hash_sample(docs, rates=SAMPLE_MIX_RATES).select(
-        "doc_id", "source")
+    fixed = hash_sample(docs, rates=SAMPLE_MIX_RATES).select(
+        F.lit("fixed").alias("mode"), "doc_id", "source")
+    temp = temperature_mix(
+        docs, alpha=0.5, target_fraction=0.5, group_col="lang"
+    ).select(F.lit("temp").alias("mode"), "doc_id", "source")
+    return fixed.union(temp)
 
 
 def _sample_mix_oracle() -> str:
@@ -1058,7 +1100,27 @@ def _sample_mix_oracle() -> str:
         f"1, 8) < '{rate_threshold(r)}')"
         for s, r in SAMPLE_MIX_RATES.items()
     )
-    return f"SELECT doc_id, source FROM documents WHERE {conds}"
+    return f"""
+        WITH cnt AS (
+            SELECT lang, count(*)::double AS n FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT sum(n) AS total, sum(pow(n, 0.5)) AS s FROM cnt
+        ), thresh AS (
+            SELECT lang,
+                   lpad(lower(to_hex(least(
+                       trunc(least(1.0,
+                           0.5 * tot.total * (pow(n, 0.5) / tot.s) / n
+                       ) * 4294967296.0)::ubigint,
+                       4294967295::ubigint))), 8, '0') AS th
+            FROM cnt, tot
+        )
+        SELECT 'fixed' AS mode, doc_id, source FROM documents
+        WHERE {conds}
+        UNION ALL
+        SELECT 'temp' AS mode, d.doc_id, d.source
+        FROM documents d JOIN thresh t ON t.lang = d.lang
+        WHERE substring(md5(d.doc_id::varchar || ':13'), 1, 8) < t.th
+    """
 
 
 def _q_warc_extract(spark, sf):
@@ -1170,7 +1232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_lsh_bucket_stats": _q_dedup_lsh_bucket_stats,
         "dedup_clusters": _q_dedup_clusters,
-        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
         "dedup_shared_spans": _q_dedup_shared_spans,
         # multimodal plumbing + real stdlib codecs
         "media_features": _q_media_features,
@@ -1189,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": _q_sim_ann_lsh,
         "sim_ann_ivf": _q_sim_ann_ivf,
         "sim_embedding_near_dups": _q_sim_embedding_near_dups,
+        "sim_semantic_dedup": _q_sim_semantic_dedup,
         # corpus assembly family
         "corpus_split": _q_corpus_split,
         "corpus_shards": _q_corpus_shards,
@@ -1419,6 +1481,84 @@ def _ivf_oracle(n_clusters: int = 8, n_probe: int = 3, k: int = 3,
                                   ORDER BY raw DESC, cand_id) AS rank
         FROM scored
         QUALIFY rank <= {k}
+    """
+
+
+def _semantic_dedup_oracle(threshold: float = 0.999, n_clusters: int = 8,
+                           train_sample: int = 4096, seed: int = 11,
+                           max_cluster: int = 4096,
+                           sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB twin of SIM.semantic_dedup over the near-dup-seeded
+    embeddings: centroids regenerated from the same augmented, sorted,
+    bounded sample (the _ivf_oracle pattern) and emitted as literals;
+    assignment (first-of-min k-means distance), centroid cosine,
+    keep-order ranking (cent_sim asc, id asc), the degenerate-cluster
+    cap, and the triangular any-earlier-member duplicate test all
+    recomputed in SQL."""
+    import numpy as np
+    import pandas as _pd
+    import pyarrow.parquet as pq
+
+    from anytomd_spark.analysis.similarity import ivf_centroids
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    pdf = tbl.to_pandas()
+    copies = pdf[pdf["vec_id"] < 10].copy()
+    copies["vec_id"] = copies["vec_id"] + 1000000
+    aug = (
+        _pd.concat([pdf, copies]).sort_values("vec_id").head(train_sample)
+    )
+    vectors = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in aug["embedding"]]
+    )
+    cents = ivf_centroids(vectors, n_clusters=n_clusters, seed=seed)
+
+    def dist(c) -> str:
+        arr = "[" + ",".join(repr(float(x)) for x in c) + "]"
+        c2 = repr(float((c * c).sum()))
+        return (f"({c2} - 2 * list_inner_product(embedding::double[], "
+                f"{arr}::double[]))")
+
+    dist_list = "[" + ", ".join(dist(c) for c in cents) + "]"
+    cent_list = "[" + ", ".join(
+        "[" + ",".join(repr(float(x)) for x in c) + "]" for c in cents
+    ) + "]::double[][]"
+    return f"""
+        WITH aug AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id, embedding
+            FROM embeddings WHERE vec_id < 10
+        ), assigned AS (
+            SELECT vec_id, embedding,
+                   list_indexof(dl, list_min(dl))::int AS cluster
+            FROM (SELECT vec_id, embedding, {dist_list} AS dl FROM aug)
+        ), with_sim AS (
+            SELECT vec_id, embedding, cluster,
+                   list_cosine_similarity(
+                       embedding::double[], ({cent_list})[cluster]
+                   ) AS cent_sim
+            FROM assigned
+        ), ranked AS (
+            SELECT vec_id, embedding, cluster, cent_sim,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY cent_sim ASC,
+                                               vec_id ASC) AS r,
+                   count(*) OVER (PARTITION BY cluster) AS csz
+            FROM with_sim
+        ), dup AS (
+            SELECT DISTINCT b.vec_id
+            FROM ranked a
+            JOIN ranked b ON a.cluster = b.cluster AND a.r < b.r
+                         AND a.csz <= {max_cluster}
+            WHERE list_cosine_similarity(a.embedding::double[],
+                                         b.embedding::double[])
+                  >= {threshold}
+        )
+        SELECT w.vec_id, w.cluster, round(w.cent_sim, 6) AS cent_sim,
+               (d.vec_id IS NOT NULL) AS is_dup
+        FROM with_sim w LEFT JOIN dup d ON d.vec_id = w.vec_id
     """
 
 
@@ -1823,7 +1963,7 @@ def _corpus_split_oracle(seed: int = 42) -> str:
 
 
 # Brute-force true-near-dup pairs + recursive-CTE transitive closure:
-# shared prefix of the dedup_clusters / dedup_cluster_survivors oracles.
+# prefix of the merged dedup_clusters (components + survivors) oracle.
 # The LSH-generated pair set is proven equal to this brute-force set by
 # the dedup_minhash_pairs gate, so the closure over it is the same graph.
 _CLUSTERS_CTE = """
@@ -2149,6 +2289,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_ann_lsh": _ann_lsh_oracle(),
         "sim_ann_ivf": _ivf_oracle(),
+        "sim_semantic_dedup": _semantic_dedup_oracle(),
         "sim_embedding_near_dups": """
             WITH aug AS (
                 SELECT vec_id, embedding FROM embeddings
@@ -2497,12 +2638,10 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hits h ON h.doc_id = d.doc_id
         """,
         "dedup_clusters": _CLUSTERS_CTE + """
-            SELECT id AS doc_id, cluster_id FROM clusters
-        """,
-        "dedup_cluster_survivors": _CLUSTERS_CTE + """
-            SELECT doc_id FROM documents
-            WHERE doc_id NOT IN (
-                SELECT id FROM clusters WHERE id != cluster_id
-            )
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   (coalesce(c.cluster_id, d.doc_id) = d.doc_id)
+                       AS is_survivor
+            FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
         """,
     }

@@ -113,6 +113,76 @@ def hash_sample(
     return docs.filter(expr)
 
 
+def temperature_mix_rates(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    group_col: str = "source",
+    max_groups: int = 10_000,
+) -> dict[str, float]:
+    """Per-group keep-rates for temperature-based mixture sampling —
+    the multilingual-LM data-mixing standard (exponentiated-count
+    smoothing, mBERT / XLM-R, Conneau et al. 2020): sampling
+    probability ``p_i ∝ n_i^alpha``, realized on a fixed corpus as
+    ``rate_i = min(1, target_fraction * N * p_i / n_i)``. ``alpha < 1``
+    flattens the mix (rare groups keep a larger fraction of their
+    docs); ``alpha = 1`` reproduces the corpus mix; the min-1 cap is
+    the single-epoch materialization bound (a hash FILTER cannot
+    upsample).
+
+    The counts aggregate is one map-side-partial groupBy; the collect
+    is bounded by the GROUP cardinality — mixture components
+    (languages, curated source buckets), never documents — and guarded
+    by ``max_groups`` via a limit BEFORE the collect."""
+    counts = (
+        docs.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(counts) > max_groups:
+        raise ValueError(
+            f"temperature_mix_rates: > {max_groups} groups in "
+            f"{group_col!r} — mixture components must be curated "
+            f"buckets, not raw keys"
+        )
+    # deterministic arithmetic order (sorted by group) so re-runs — and
+    # the SQL oracle, which mirrors this exact expression shape —
+    # reproduce the same doubles
+    ns = {r[group_col]: float(r["n"]) for r in counts}
+    total = sum(ns[g] for g in sorted(ns))
+    s = sum(ns[g] ** alpha for g in sorted(ns))
+    return {
+        g: min(1.0, target_fraction * total * (ns[g] ** alpha / s) / ns[g])
+        for g in sorted(ns)
+    }
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    group_col: str = "source",
+    seed: int = 13,
+    id_col: str = "doc_id",
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """Temperature-sampled corpus: derive the per-group rates from the
+    corpus counts (:func:`temperature_mix_rates` — one bounded agg) and
+    apply them with the zero-shuffle md5-prefix filter
+    (:func:`hash_sample`). Same stability contract: membership is a
+    pure function of (id, seed, group rate), so retuning the mix
+    reuses every prior sample in groups whose rate grew (kept ids stay
+    kept when a rate only moves up)."""
+    rates = temperature_mix_rates(
+        docs, alpha=alpha, target_fraction=target_fraction,
+        group_col=group_col, max_groups=max_groups,
+    )
+    return hash_sample(
+        docs, rates=rates, group_col=group_col, seed=seed, id_col=id_col
+    )
+
+
 def token_shards(
     docs: DataFrame,
     max_tokens_per_shard: int,

@@ -443,6 +443,117 @@ def ivf_ann_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    train_sample: int = 4096,
+    seed: int = 11,
+    max_cluster: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal by k-means clustering the embedding space and
+    deduplicating WITHIN clusters only — the cluster structure turns the
+    corpus-quadratic similarity problem into k cluster-local ones.
+
+    Policy (the paper's best-performing variant): within a cluster,
+    members are ordered by ascending cosine similarity to their centroid
+    (ties by id) — the LEAST-typical member of each duplicate group is
+    kept — and a member is a duplicate iff its cosine to ANY
+    earlier-ordered cluster member reaches ``threshold`` (the paper's
+    triangular max-similarity test; a member can be dropped because of
+    an earlier member that was itself dropped).
+
+    Plan shape for 100 TB: centroids train driver-side on a bounded
+    deterministic sample (the IVF pattern) and ride as literals;
+    assignment + centroid cosine are ONE Arrow pass over the corpus; the
+    slim (id, cluster, cent_sim) table persists (24 bytes/row — the only
+    reuse across the pair stage and the output join); within-cluster
+    ordered pairs unfold IN-AGGREGATE (the ``_bucket_pairs`` mechanism —
+    no self-join, no re-shuffle), with clusters larger than
+    ``max_cluster`` dropped as degenerate (size k is the real lever:
+    choose corpus/k under the cap, as the paper does with 50k clusters);
+    pair cosines join raw vectors straight off the corpus scan. Rows
+    with null/ragged embeddings are EXCLUDED (the family's degraded-row
+    contract, see :func:`brute_force_topk`).
+
+    Returns (id_col, cluster, cent_sim, is_dup) — survivors are the
+    ``is_dup = false`` rows.
+    """
+    sample = (
+        corpus.orderBy(id_col).limit(train_sample)
+        .select(vec_col).toPandas()[vec_col]
+    )
+    # degraded rows (null/ragged) are excluded from TRAINING too — the
+    # dim is fixed by the first conforming vector in id order
+    dim = next(len(v) for v in sample if v is not None)
+    clean = [w for w in (_vec_or_none(v, dim) for v in sample)
+             if w is not None]
+    vectors = np.asarray(clean, dtype=np.float64)
+    cents = ivf_centroids(vectors, n_clusters=n_clusters, seed=seed)
+    cents_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+
+    assigned = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        _ivf_dists_np(F.col(vec_col), cents).alias("dists"),
+    ).select(
+        "id", "vec",
+        F.array_position(F.col("dists"), F.array_min("dists")).alias("cluster"),
+    ).select(
+        "id", "cluster",
+        cosine_np(
+            F.col("vec"), F.element_at(cents_lit, F.col("cluster").cast("int"))
+        ).alias("cent_sim"),
+    ).filter(F.col("cluster").isNotNull() & F.col("cent_sim").isNotNull())
+    # persisted: consumed by the pair stage AND the output join — without
+    # it the Arrow assignment pass re-executes under each alias (the
+    # PLANS.md round-6 self-join rule)
+    assigned = assigned.persist()
+
+    # keep-order pairs, unfolded in-aggregate: members sorted by
+    # (cent_sim, id) — struct sort IS the keep order — then (earlier,
+    # later) combinations; only (cent_sim, id) structs flow through the
+    # collect, never vectors
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("cent_sim"), F.col("id")))
+    )
+    grouped = (
+        assigned.groupBy("cluster")
+        .agg(members.alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_cluster))
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x["id"].alias("a"), y["id"].alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        grouped.select(F.explode(pair_arrays).alias("p"))
+        .select("p.a", "p.b")
+    )
+    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("vec_a"))
+    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vec_b"))
+    dups = (
+        pairs.join(va, "a").join(vb, "b")
+        .filter(cosine_np(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select(F.col("b").alias("id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assigned.join(dups, "id", "left").select(
+        F.col("id").alias(id_col), "cluster", "cent_sim",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     """Quality metric for the ANN operators: per-query |approx ∩ exact| / k,
     averaged over the query set. ``exact`` is :func:`brute_force_topk`'s

@@ -197,6 +197,107 @@ def test_ivf_ann_recall_and_determinism(spark):
     assert again == first
 
 
+def _semdedup_corpus(spark):
+    """3 gaussian blobs with seeded duplicate groups: exact copies
+    (cos = 1) and a same-direction scaled chain (cos ~ 1 to neighbors)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((3, 16)) * 4
+    vecs = [centers[i % 3] + 0.4 * rng.standard_normal(16) for i in range(30)]
+    vecs.append(vecs[0].copy())            # 30: exact dup of 0
+    vecs.append(vecs[5].copy())            # 31: exact dup of 5
+    vecs.append(vecs[5] * 3.0)             # 32: same direction as 5
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def _naive_semdedup(rows, cents, threshold, max_cluster):
+    """Literal Python restatement of the SemDeDup policy — assignment by
+    first-of-min k-means distance, keep-order (cent_sim asc, id asc),
+    triangular any-earlier-member similarity test."""
+    import numpy as np
+
+    cents = np.asarray(cents, dtype=np.float64)
+    out, by_cluster = {}, {}
+    for vid, v in rows:
+        v = np.asarray(v, dtype=np.float64)
+        d = (cents * cents).sum(axis=1) - 2.0 * (cents @ v)
+        cl = int(d.argmin()) + 1
+        c = cents[cl - 1]
+        cs = float((v @ c) / (np.linalg.norm(v) * np.linalg.norm(c)))
+        by_cluster.setdefault(cl, []).append((cs, vid, v))
+        out[vid] = (cl, cs, False)
+    for cl, ms in by_cluster.items():
+        if len(ms) > max_cluster:
+            continue
+        ms.sort(key=lambda t: (t[0], t[1]))
+        for j in range(1, len(ms)):
+            vb = ms[j][2]
+            for cs_a, vid_a, va in ms[:j]:
+                cos = float((va @ vb)
+                            / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                if cos >= threshold:
+                    out[ms[j][1]] = (out[ms[j][1]][0], out[ms[j][1]][1], True)
+                    break
+    return out
+
+
+def test_semantic_dedup_matches_naive_reference(spark):
+    import numpy as np
+
+    rows, emb = _semdedup_corpus(spark)
+    vectors = np.asarray([v for _, v in sorted(rows)], dtype=np.float64)
+    cents = SIM.ivf_centroids(vectors, n_clusters=4, seed=11)
+    want = _naive_semdedup(rows, cents, threshold=0.999, max_cluster=4096)
+    got = {
+        r.vec_id: (r.cluster, r.cent_sim, r.is_dup)
+        for r in SIM.semantic_dedup(emb, threshold=0.999, n_clusters=4).collect()
+    }
+    assert set(got) == set(want)
+    for vid in want:
+        assert got[vid][0] == want[vid][0], vid
+        assert got[vid][1] == pytest.approx(want[vid][1], abs=1e-12)
+        assert got[vid][2] == want[vid][2], vid
+    # the seeded duplicate groups must each lose all but one member
+    assert sum(got[v][2] for v in (0, 30)) == 1
+    assert sum(got[v][2] for v in (5, 31, 32)) == 2
+
+
+def test_semantic_dedup_keep_policy(spark):
+    """Within a duplicate group the KEPT member is the one earliest in
+    (cent_sim asc, id asc) order — the paper's keep-least-typical rule;
+    for an exact-copy pair cent_sim ties, so the lower id survives."""
+    rows, emb = _semdedup_corpus(spark)
+    got = {
+        r.vec_id: r for r in
+        SIM.semantic_dedup(emb, threshold=0.999, n_clusters=4).collect()
+    }
+    assert not got[0].is_dup and got[30].is_dup  # exact pair: min id kept
+
+
+def test_semantic_dedup_degraded_rows_excluded(spark):
+    rows, _ = _semdedup_corpus(spark)
+    bad = rows + [(900, None), (901, [1.0, 2.0])]  # null + ragged
+    emb = spark.createDataFrame(bad, "vec_id long, embedding array<double>")
+    ids = {r.vec_id for r in
+           SIM.semantic_dedup(emb, threshold=0.999, n_clusters=4).collect()}
+    assert 900 not in ids and 901 not in ids
+    assert ids == {vid for vid, _ in rows}
+
+
+def test_semantic_dedup_max_cluster_cap(spark):
+    """Clusters over the cap are degenerate: they emit no pairs, so all
+    their members survive (same cap contract as _bucket_pairs)."""
+    rows, emb = _semdedup_corpus(spark)
+    out = SIM.semantic_dedup(emb, threshold=0.999, n_clusters=1,
+                             max_cluster=4).collect()
+    assert len(out) == len(rows)
+    assert not any(r.is_dup for r in out)
+
+
 def test_ivf_centroids_deterministic():
     import numpy as np
 
@@ -625,6 +726,64 @@ def test_hash_sample_deterministic_monotone_pushdown(spark):
     with contextlib.redirect_stdout(buf):
         CORPUS.hash_sample(docs, rate=0.3).explain()
     assert "Exchange" not in buf.getvalue()
+
+
+def _temp_mix_docs(spark):
+    """Skewed 3-group corpus: 600 / 150 / 50 docs."""
+    return spark.range(800).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 600, "big")
+        .when(F.col("id") < 750, "mid")
+        .otherwise("rare").alias("source"),
+    )
+
+
+def test_temperature_mix_rates_formula_and_cap(spark):
+    import math
+
+    from anytomd_spark.analysis import corpus as CORPUS
+
+    docs = _temp_mix_docs(spark)
+    rates = CORPUS.temperature_mix_rates(docs, alpha=0.5,
+                                         target_fraction=0.5)
+    ns = {"big": 600.0, "mid": 150.0, "rare": 50.0}
+    s = sum(math.sqrt(ns[g]) for g in sorted(ns))
+    for g, n in ns.items():
+        want = min(1.0, 0.5 * 800.0 * (math.sqrt(n) / s) / n)
+        assert rates[g] == pytest.approx(want, abs=0), g
+    # alpha < 1 flattens: the rare group keeps a LARGER fraction
+    assert rates["rare"] > rates["mid"] > rates["big"]
+    # alpha = 1 reproduces the corpus mix: every rate = target_fraction
+    flat = CORPUS.temperature_mix_rates(docs, alpha=1.0,
+                                        target_fraction=0.37)
+    assert all(r == pytest.approx(0.37) for r in flat.values())
+    # the single-epoch cap: a tiny group at strong flattening hits 1.0
+    capped = CORPUS.temperature_mix_rates(docs, alpha=0.0,
+                                          target_fraction=0.9)
+    assert capped["rare"] == 1.0
+
+
+def test_temperature_mix_membership_and_guard(spark):
+    from anytomd_spark.analysis import corpus as CORPUS
+
+    docs = _temp_mix_docs(spark)
+    kept = CORPUS.temperature_mix(docs, alpha=0.5, target_fraction=0.5)
+    rows = kept.collect()
+    # membership equals hash_sample under the derived rates (the two
+    # stages compose without re-derivation drift)
+    rates = CORPUS.temperature_mix_rates(docs, alpha=0.5,
+                                         target_fraction=0.5)
+    direct = {r.doc_id for r in
+              CORPUS.hash_sample(docs, rates=rates).collect()}
+    assert {r.doc_id for r in rows} == direct
+    # overall volume lands near the target fraction
+    assert 0.4 < len(rows) / 800 < 0.6
+    # group-cardinality guard: doc_id as the group key must refuse
+    with pytest.raises(ValueError):
+        CORPUS.temperature_mix_rates(
+            docs.withColumn("source", F.col("doc_id").cast("string")),
+            max_groups=100,
+        )
 
 
 def test_decontaminate_flags_and_plan(spark):
