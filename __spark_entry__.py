@@ -187,11 +187,27 @@ def _q_convert_turn_ordering(spark, sf):
 
 
 def _q_dedup_exact(spark, sf):
-    """Exact dedup, survivors + stats in one groupBy: each row is a
-    content group's surviving (minimum) doc_id and its member count —
-    the survivor set and the duplicate counts from a single shuffle."""
+    """Exact dedup at BOTH granularities, kind-tagged in one query:
+
+    * kind 'doc' — survivors + stats in one groupBy: each row is a
+      content group's surviving (minimum) doc_id, its member count, and
+      the group's content hash (a single shuffle).
+    * kind 'line' — C4-style corpus-wide line dedup (dedup.line_dedup):
+      each row is a document with its surviving-line count and the md5
+      of its reconstructed text; first occurrence wins via a skew-safe
+      min-struct aggregate (no window over hot boilerplate lines)."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return DD.exact_dedup_groups(docs)
+    doc_leg = DD.exact_dedup_groups(docs, with_hash=True).select(
+        F.lit("doc").alias("kind"), "doc_id",
+        F.col("group_size").alias("n"),
+        F.col("content_hash").alias("content_md5"),
+    )
+    line_leg = DD.line_dedup(docs).select(
+        F.lit("line").alias("kind"), "doc_id",
+        F.col("n_kept").alias("n"),
+        F.md5("text_dedup").alias("content_md5"),
+    )
+    return doc_leg.unionByName(line_leg)
 
 
 def _q_dedup_ngram_jaccard(spark, sf):
@@ -2159,8 +2175,35 @@ def oracle_sql() -> dict[str, str]:
             FROM tok
         """,
         "dedup_exact": """
-            SELECT min(doc_id) AS doc_id, count(*)::bigint AS group_size
+            WITH l AS (
+                SELECT s.doc_id, (u).idx - 1 AS line_idx, (u).line AS line
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                      FROM documents) s,
+                     unnest([struct_pack(idx := i, line := ls[i])
+                             FOR i IN range(1, len(ls) + 1)]) AS t(u)
+            ), win AS (
+                SELECT doc_id, line_idx, line
+                FROM l WHERE length(line) >= 10
+                QUALIFY row_number() OVER (
+                    PARTITION BY line ORDER BY doc_id, line_idx) = 1
+            ), kept AS (
+                SELECT doc_id, line_idx, line
+                FROM l WHERE length(line) < 10
+                UNION ALL SELECT doc_id, line_idx, line FROM win
+            ), per AS (
+                SELECT doc_id, count(*)::bigint AS n,
+                       md5(string_agg(line, chr(10) ORDER BY line_idx))
+                           AS content_md5
+                FROM kept GROUP BY doc_id
+            )
+            SELECT 'doc' AS kind, min(doc_id) AS doc_id,
+                   count(*)::bigint AS n, md5(text) AS content_md5
             FROM documents GROUP BY md5(text)
+            UNION ALL
+            SELECT 'line' AS kind, d.doc_id,
+                   coalesce(p.n, 0)::bigint AS n,
+                   coalesce(p.content_md5, md5('')) AS content_md5
+            FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
         """,
         "dedup_ngram_jaccard": """
             WITH toks AS (

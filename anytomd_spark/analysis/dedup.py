@@ -32,20 +32,88 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup_groups(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    with_hash: bool = False,
 ) -> DataFrame:
     """Survivor id + member count per exact-content group: one
     hash-groupBy yields BOTH the survivor set (``id_col``) and the
     duplicate statistics (``n_dups = sum(group_size - 1)``), so callers
     that need stats-plus-survivors pay a single shuffle instead of two
-    separate jobs."""
-    return (
+    separate jobs. ``with_hash`` additionally exposes the group's
+    content hash (the groupBy key — free)."""
+    out = (
         docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("group_size"),
         )
-        .select(id_col, "group_size")
+    )
+    if with_hash:
+        return out.select(id_col, "group_size", "content_hash")
+    return out.select(id_col, "group_size")
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 10,
+) -> DataFrame:
+    """C4-style exact LINE deduplication (Raffel et al. 2020 §2.2's
+    repeated-span discard, at line granularity): across the WHOLE
+    corpus, each distinct line of >= ``min_chars`` characters survives
+    only at its first occurrence — the minimum (doc, position) — so
+    boilerplate repeated across pages (nav text, cookie banners, license
+    headers) is kept exactly once. Lines shorter than ``min_chars``
+    always survive: deduplicating "}", "-", or "" would shred document
+    structure for no dedup value.
+
+    Returns one row per input document: (id_col, n_kept,
+    text_dedup) — the document's surviving line count and its
+    reconstructed text (kept lines joined by newline, original order).
+    Documents whose every line was deduplicated away come back with
+    n_kept = 0 and empty text; null-text documents come back the same
+    way (nothing to keep).
+
+    Scale shape for 10^12 turns: the first-occurrence winner per line
+    is ONE min(struct(id, pos)) aggregate keyed on the line — map-side
+    partial combining makes it skew-safe even when one boilerplate line
+    occurs 10^9 times (each task emits one candidate row for it), where
+    the naive row_number window would put the whole group through one
+    task. The winner table IS the surviving eligible-line set (no join
+    back against the exploded corpus), and the reconstruct groupBy is
+    bounded by document size. Two shuffles total, both on
+    well-distributed keys."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "line_idx", "line"
+        ),
+    )
+    eligible = lines.filter(F.length("line") >= min_chars)
+    winners = (
+        eligible.groupBy("line")
+        .agg(F.min(F.struct(F.col("id"), F.col("line_idx"))).alias("w"))
+        .select(F.col("w.id").alias("id"),
+                F.col("w.line_idx").alias("line_idx"), "line")
+    )
+    kept = lines.filter(F.length("line") < min_chars).unionByName(winners)
+    per_doc = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+    )
+    return docs.select(F.col(id_col).alias("id")).join(
+        per_doc, "id", "left"
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
 
 

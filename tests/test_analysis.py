@@ -75,6 +75,58 @@ def test_simhash_near_dups(spark, docs):
     assert (3, 4) in dups
 
 
+def test_line_dedup_first_occurrence_and_structure(spark):
+    """Corpus-wide line dedup: a >= min_chars line survives only at its
+    minimum (doc_id, line_idx); short lines always survive; null text
+    and fully-deduplicated docs come back as n_kept=0 / empty."""
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        (0, f"unique first document body line\n{boiler}\nok"),
+        (1, f"{boiler}\nsecond doc own content line here"),
+        (2, boiler),                       # loses its only line
+        (3, f"{boiler}\n{boiler}"),        # within-doc repeat also deduped
+        (4, None),
+        (5, ""),
+        (6, "short\nok\n}"),               # all short lines: untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in DD.line_dedup(docs).collect()}
+    assert len(got) == 7
+    assert got[0].text_dedup == rows[0][1]          # first occurrence keeps
+    assert got[0].n_kept == 3
+    assert got[1].text_dedup == "second doc own content line here"
+    assert got[1].n_kept == 1
+    assert got[2].n_kept == 0 and got[2].text_dedup == ""
+    assert got[3].n_kept == 0 and got[3].text_dedup == ""
+    assert got[4].n_kept == 0 and got[4].text_dedup == ""
+    assert got[5].n_kept == 1 and got[5].text_dedup == ""
+    assert got[6].text_dedup == "short\nok\n}" and got[6].n_kept == 3
+
+
+def test_line_dedup_partition_invariant_and_no_window(spark):
+    """The winner choice must not depend on partitioning (min-struct is
+    a true aggregate), and the plan must contain no Window operator —
+    the skew-safety claim is that hot boilerplate lines never funnel
+    through a single window task."""
+    import contextlib
+    import io
+
+    rows = [(i, f"shared boilerplate line alpha\ndoc {i} unique line body")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted((r.doc_id, r.n_kept, r.text_dedup)
+               for r in DD.line_dedup(docs).collect())
+    b = sorted((r.doc_id, r.n_kept, r.text_dedup)
+               for r in DD.line_dedup(docs.repartition(13)).collect())
+    assert a == b
+    assert a[0] == (0, 2, rows[0][1])  # doc 0 keeps the shared line
+    assert all(t[1] == 1 for t in a[1:])  # everyone else keeps 1 line
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        DD.line_dedup(docs).explain()
+    assert "Window" not in buf.getvalue()
+
+
 def test_brute_force_topk_self_similarity(spark):
     import numpy as np
 
