@@ -452,6 +452,7 @@ def semantic_dedup(
     train_sample: int = 4096,
     seed: int = 11,
     max_cluster: int = 4096,
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate removal by k-means clustering the embedding space and
@@ -479,9 +480,23 @@ def semantic_dedup(
     with null/ragged embeddings are EXCLUDED (the family's degraded-row
     contract, see :func:`brute_force_topk`).
 
+    THE scale knob is k, not the cap: within-cluster pair work is
+    quadratic in cluster SIZE, so a fixed ``n_clusters`` under a growing
+    corpus grows cost quadratically (measured 19x time at 10x input with
+    k=8), while k scaled to hold cluster size constant grows pair count
+    — and measured wall time — linearly (~3-4x at 10x input; see
+    BENCH/BASELINE.md round-6 session-6). Pass ``target_cluster_size``
+    to derive k from the corpus count (one scalar job), the way the
+    paper sizes 50k clusters for LAION; ``max_cluster`` stays the
+    degenerate-cluster guard, not the sizing mechanism.
+
     Returns (id_col, cluster, cent_sim, is_dup) — survivors are the
     ``is_dup = false`` rows.
     """
+    if target_cluster_size is not None:
+        n_clusters = max(
+            1, -(-corpus.count() // target_cluster_size)  # ceil div
+        )
     sample = (
         corpus.orderBy(id_col).limit(train_sample)
         .select(vec_col).toPandas()[vec_col]

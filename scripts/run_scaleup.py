@@ -39,6 +39,10 @@ HEAVY = [
 # #5): banded LSH + verify, connected components, winnowed shared spans
 DEDUP = ["dedup_minhash_pairs", "dedup_clusters", "dedup_shared_spans"]
 
+# round-6 session-6 additions: SemDeDup (embeddings), doc+line exact
+# dedup union, fixed+temperature mixture sampling
+NEWOPS = ["sim_semantic_dedup", "dedup_exact", "corpus_sample_mix"]
+
 
 def _sf_dir_for(mult: int) -> str:
     if mult == 1:
@@ -116,7 +120,7 @@ def run_leg(leg: str, mult: int) -> None:
     else:
         import statistics
 
-        names = DEDUP if leg == "dedup" else HEAVY
+        names = {"dedup": DEDUP, "newops": NEWOPS}.get(leg, HEAVY)
         sf_dir = _sf_dir_for(mult)
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         qs = entrymod.queries()
@@ -157,7 +161,8 @@ def run_leg(leg: str, mult: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--leg",
-                    choices=["convert", "analysis", "dedup", "classifier"])
+                    choices=["convert", "analysis", "dedup", "classifier",
+                             "newops"])
     ap.add_argument("--mult", type=int)
     ap.add_argument("--dedup-sweep", action="store_true",
                     help="dedup family at 1x/10x/100x (5k/50k/500k docs); "

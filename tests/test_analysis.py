@@ -340,6 +340,20 @@ def test_semantic_dedup_degraded_rows_excluded(spark):
     assert ids == {vid for vid, _ in rows}
 
 
+def test_semantic_dedup_target_cluster_size(spark):
+    """target_cluster_size derives k from the corpus count (ceil) —
+    the scale knob that keeps within-cluster pair work linear."""
+    rows, emb = _semdedup_corpus(spark)  # 33 vectors
+    out = SIM.semantic_dedup(emb, threshold=0.999,
+                             target_cluster_size=10).collect()
+    assert len(out) == len(rows)
+    assert len({r.cluster for r in out}) <= 4  # ceil(33/10) = 4 clusters
+    # identical to the explicit k=4 call (same derivation endpoint)
+    explicit = SIM.semantic_dedup(emb, threshold=0.999,
+                                  n_clusters=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, explicit))
+
+
 def test_semantic_dedup_max_cluster_cap(spark):
     """Clusters over the cap are degenerate: they emit no pairs, so all
     their members survive (same cap contract as _bucket_pairs)."""
