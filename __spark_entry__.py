@@ -370,7 +370,7 @@ def _q_sim_semantic_dedup(spark, sf):
     out = SIM.semantic_dedup(aug, threshold=0.999, n_clusters=8)
     return out.select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"),
-        F.round("cent_sim", 6).alias("cent_sim"), "is_dup",
+        F.round("cent_sim", 6).alias("cent_sim"), "is_dup", "capped",
     )
 
 
@@ -1573,8 +1573,9 @@ def _semantic_dedup_oracle(threshold: float = 0.999, n_clusters: int = 8,
                   >= {threshold}
         )
         SELECT w.vec_id, w.cluster, round(w.cent_sim, 6) AS cent_sim,
-               (d.vec_id IS NOT NULL) AS is_dup
-        FROM with_sim w LEFT JOIN dup d ON d.vec_id = w.vec_id
+               (d.vec_id IS NOT NULL) AS is_dup,
+               (w.csz > {max_cluster}) AS capped
+        FROM ranked w LEFT JOIN dup d ON d.vec_id = w.vec_id
     """
 
 

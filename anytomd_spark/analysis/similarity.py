@@ -490,8 +490,11 @@ def semantic_dedup(
     paper sizes 50k clusters for LAION; ``max_cluster`` stays the
     degenerate-cluster guard, not the sizing mechanism.
 
-    Returns (id_col, cluster, cent_sim, is_dup) — survivors are the
-    ``is_dup = false`` rows.
+    Returns (id_col, cluster, cent_sim, is_dup, capped) — survivors are
+    the ``is_dup = false`` rows; ``capped`` marks members of clusters
+    that exceeded ``max_cluster`` and were therefore never pair-tested
+    (the no-silent-caps contract: a dropped cluster reads as dropped,
+    not as clean).
     """
     if target_cluster_size is not None:
         n_clusters = max(
@@ -563,9 +566,13 @@ def semantic_dedup(
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )
-    return assigned.join(dups, "id", "left").select(
+    sizes = assigned.groupBy("cluster").agg(
+        (F.count(F.lit(1)) > max_cluster).alias("capped")
+    )
+    return assigned.join(dups, "id", "left").join(sizes, "cluster").select(
         F.col("id").alias(id_col), "cluster", "cent_sim",
         F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        "capped",
     )
 
 

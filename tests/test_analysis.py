@@ -362,6 +362,11 @@ def test_semantic_dedup_max_cluster_cap(spark):
                              max_cluster=4).collect()
     assert len(out) == len(rows)
     assert not any(r.is_dup for r in out)
+    # no silent caps: every member of the dropped cluster says so
+    assert all(r.capped for r in out)
+    uncapped = SIM.semantic_dedup(emb, threshold=0.999,
+                                  n_clusters=4).collect()
+    assert not any(r.capped for r in uncapped)
 
 
 def test_ivf_centroids_deterministic():
