@@ -344,7 +344,13 @@ def ivf_centroids(
     n = len(vectors)
     cents = vectors[rng.choice(n, size=min(n_clusters, n), replace=False)]
     for _ in range(n_iters):
-        d2 = ((vectors[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # ||c||^2 - 2 v.c (the ||v||^2 term is constant per row): one
+        # (n, k) GEMM instead of the (n, k, dim) broadcast-subtract,
+        # whose temporaries cost ~1.7 GB/iteration at k=800 — the
+        # k∝corpus operating point semantic_dedup uses
+        d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (
+            vectors @ cents.T
+        )
         assign = d2.argmin(axis=1)
         new = np.empty_like(cents)
         for c in range(len(cents)):
@@ -443,6 +449,54 @@ def ivf_ann_topk(
     )
 
 
+def _assign_with_cent_sim(vec_col, cents: "np.ndarray") -> "F.Column":
+    """One Arrow hop per batch: nearest-centroid assignment (first-of-
+    min over the ||c||^2 - 2 v.c surrogate, the `_ivf_dists_np`
+    convention) AND cosine to the chosen centroid, as
+    struct(cluster, cent_sim). The centroids travel in the kernel
+    closure, NOT as literal expressions — an element_at over a literal
+    k x dim array costs Catalyst k*dim expression nodes, which measured
+    as minutes of planning at k=800 (the k∝corpus operating point)
+    where this kernel is flat in k. Degraded rows (null/ragged) yield
+    null struct fields."""
+    cents64 = np.asarray(cents, dtype=np.float64)
+    c2 = (cents64 * cents64).sum(axis=1)
+    cnorm = np.sqrt(c2)
+
+    @pandas_udf("cluster long, cent_sim double")
+    def _assign(col: "pd.Series") -> "pd.DataFrame":
+        if not len(col):
+            return pd.DataFrame({"cluster": [], "cent_sim": []})
+        try:
+            m = _rows(col)
+            d = c2[None, :] - 2.0 * (m @ cents64.T)
+            cl = d.argmin(axis=1)
+            chosen = cents64[cl]
+            cs = (m * chosen).sum(axis=1) / (
+                np.sqrt((m * m).sum(axis=1)) * cnorm[cl]
+            )
+            return pd.DataFrame({"cluster": cl + 1, "cent_sim": cs})
+        except (TypeError, ValueError):
+            cls, sims = [], []
+            for v in col.tolist():
+                vec = _vec_or_none(v, cents64.shape[1])
+                if vec is None:
+                    cls.append(None)
+                    sims.append(None)
+                    continue
+                d = c2 - 2.0 * (vec @ cents64.T)
+                ci = int(d.argmin())
+                c = cents64[ci]
+                cls.append(ci + 1)
+                sims.append(float(
+                    (vec * c).sum()
+                    / (np.sqrt((vec * vec).sum()) * cnorm[ci])
+                ))
+            return pd.DataFrame({"cluster": cls, "cent_sim": sims})
+
+    return _assign(vec_col)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -468,27 +522,32 @@ def semantic_dedup(
     an earlier member that was itself dropped).
 
     Plan shape for 100 TB: centroids train driver-side on a bounded
-    deterministic sample (the IVF pattern) and ride as literals;
-    assignment + centroid cosine are ONE Arrow pass over the corpus; the
-    slim (id, cluster, cent_sim) table persists (24 bytes/row — the only
-    reuse across the pair stage and the output join); within-cluster
-    ordered pairs unfold IN-AGGREGATE (the ``_bucket_pairs`` mechanism —
-    no self-join, no re-shuffle), with clusters larger than
-    ``max_cluster`` dropped as degenerate (size k is the real lever:
-    choose corpus/k under the cap, as the paper does with 50k clusters);
-    pair cosines join raw vectors straight off the corpus scan. Rows
+    deterministic sample (the IVF pattern) and travel in kernel
+    closures — never as literal expressions (k*dim literal centroid
+    arrays measured as MINUTES of Catalyst planning at k=800);
+    assignment + centroid cosine are ONE Arrow pass
+    (:func:`_assign_with_cent_sim`); then ONE shuffle groups each
+    cluster and a cluster-local GEMM kernel (``applyInPandas``, the
+    paper's own physical shape) computes the pairwise cosine matrix and
+    the keep-order triangular test in place. Arrow traffic is
+    CORPUS-sized — each vector ships once into its group — never
+    PAIR-sized (the pair-join formulation this replaced shipped both
+    vectors per candidate pair: ~25 GB vs ~200 MB at 200k vectors, and
+    measured >100x slower end-to-end). ``max_cluster`` bounds the
+    per-task similarity matrix (134 MB worst case at the 4096 default);
+    clusters above it skip pair-testing and say so via ``capped``. Rows
     with null/ragged embeddings are EXCLUDED (the family's degraded-row
     contract, see :func:`brute_force_topk`).
 
     THE scale knob is k, not the cap: within-cluster pair work is
-    quadratic in cluster SIZE, so a fixed ``n_clusters`` under a growing
-    corpus grows cost quadratically (measured 19x time at 10x input with
-    k=8), while k scaled to hold cluster size constant grows pair count
-    — and measured wall time — linearly (~3-4x at 10x input; see
-    BENCH/BASELINE.md round-6 session-6). Pass ``target_cluster_size``
-    to derive k from the corpus count (one scalar job), the way the
-    paper sizes 50k clusters for LAION; ``max_cluster`` stays the
-    degenerate-cluster guard, not the sizing mechanism.
+    quadratic in cluster SIZE, so hold cluster size constant by scaling
+    ``n_clusters`` with the corpus — pair count then grows linearly.
+    Measured after the GEMM rewrite (local[32], steady samples): 2k
+    vectors/k8 0.9 s, 20k/k80 1.2 s, 200k/k800 3.4 s — ~2.8x per
+    decade, floor-dominated. Pass ``target_cluster_size`` to derive k
+    from the corpus count (one scalar job), the way the paper sizes 50k
+    clusters for LAION; ``max_cluster`` stays the degenerate-cluster
+    guard, not the sizing mechanism.
 
     Returns (id_col, cluster, cent_sim, is_dup, capped) — survivors are
     the ``is_dup = false`` rows; ``capped`` marks members of clusters
@@ -511,67 +570,60 @@ def semantic_dedup(
              if w is not None]
     vectors = np.asarray(clean, dtype=np.float64)
     cents = ivf_centroids(vectors, n_clusters=n_clusters, seed=seed)
-    cents_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents
-    ])
 
     assigned = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-        _ivf_dists_np(F.col(vec_col), cents).alias("dists"),
+        _assign_with_cent_sim(F.col(vec_col), cents).alias("a"),
     ).select(
-        "id", "vec",
-        F.array_position(F.col("dists"), F.array_min("dists")).alias("cluster"),
-    ).select(
-        "id", "cluster",
-        cosine_np(
-            F.col("vec"), F.element_at(cents_lit, F.col("cluster").cast("int"))
-        ).alias("cent_sim"),
+        "id", "vec", F.col("a.cluster").alias("cluster"),
+        F.col("a.cent_sim").alias("cent_sim"),
     ).filter(F.col("cluster").isNotNull() & F.col("cent_sim").isNotNull())
-    # persisted: consumed by the pair stage AND the output join — without
-    # it the Arrow assignment pass re-executes under each alias (the
-    # PLANS.md round-6 self-join rule)
-    assigned = assigned.persist()
 
-    # keep-order pairs, unfolded in-aggregate: members sorted by
-    # (cent_sim, id) — struct sort IS the keep order — then (earlier,
-    # later) combinations; only (cent_sim, id) structs flow through the
-    # collect, never vectors
-    members = F.array_sort(
-        F.collect_list(F.struct(F.col("cent_sim"), F.col("id")))
+    # cluster-local GEMM (the paper's own physical shape): ONE
+    # applyInPandas group kernel per cluster computes the full pairwise
+    # cosine matrix (V @ V.T over the cluster's <= max_cluster vectors)
+    # and applies the keep-order triangular test in-place. Arrow traffic
+    # is CORPUS-sized (each vector ships once into its group), not
+    # PAIR-sized — the earlier pair-join formulation shipped both
+    # vectors per candidate pair (~25 GB at 200k vectors / 250-member
+    # clusters vs ~200 MB here, >10x wall-clock on that shape). The
+    # max_cluster cap also bounds the kernel's similarity matrix
+    # (4096^2 doubles = 134 MB worst case per task).
+    thr = float(threshold)
+    cap = int(max_cluster)
+
+    def _cluster_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["cent_sim", "id"]).reset_index(drop=True)
+        n = len(pdf)
+        if n > cap:
+            return pd.DataFrame({
+                "id": pdf["id"], "cluster": pdf["cluster"],
+                "cent_sim": pdf["cent_sim"],
+                "is_dup": np.zeros(n, dtype=bool),
+                "capped": np.ones(n, dtype=bool),
+            })
+        dup = np.zeros(n, dtype=bool)
+        if n >= 2:
+            v = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            norms = np.sqrt((v * v).sum(axis=1))
+            sim = (v @ v.T) / np.outer(norms, norms)
+            # member j is a duplicate iff sim to ANY earlier-ordered
+            # member i < j reaches the threshold (strict upper triangle)
+            dup = np.triu(sim >= thr, k=1).any(axis=0)
+        return pd.DataFrame({
+            "id": pdf["id"], "cluster": pdf["cluster"],
+            "cent_sim": pdf["cent_sim"], "is_dup": dup,
+            "capped": np.zeros(n, dtype=bool),
+        })
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out = assigned.groupBy("cluster").applyInPandas(
+        _cluster_kernel,
+        f"id {id_type}, cluster long, cent_sim double, is_dup boolean, "
+        "capped boolean",
     )
-    grouped = (
-        assigned.groupBy("cluster")
-        .agg(members.alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_cluster))
-    )
-    pair_arrays = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(x["id"].alias("a"), y["id"].alias("b")),
-            ),
-        )
-    )
-    pairs = (
-        grouped.select(F.explode(pair_arrays).alias("p"))
-        .select("p.a", "p.b")
-    )
-    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("vec_a"))
-    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vec_b"))
-    dups = (
-        pairs.join(va, "a").join(vb, "b")
-        .filter(cosine_np(F.col("vec_a"), F.col("vec_b")) >= threshold)
-        .select(F.col("b").alias("id"))
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
-    )
-    sizes = assigned.groupBy("cluster").agg(
-        (F.count(F.lit(1)) > max_cluster).alias("capped")
-    )
-    return assigned.join(dups, "id", "left").join(sizes, "cluster").select(
-        F.col("id").alias(id_col), "cluster", "cent_sim",
-        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    return out.select(
+        F.col("id").alias(id_col), "cluster", "cent_sim", "is_dup",
         "capped",
     )
 
