@@ -483,13 +483,33 @@ def _q_corpus_split(spark, sf):
 
 
 def _q_corpus_shards(spark, sf):
-    """Token-budget contiguous sharding via the two-level skew-safe
-    cumulative sum (id_bucket shrunk to exercise multi-bucket offsets
-    at sf scale)."""
+    """Corpus chunking, both granularities in one mode-tagged union:
+
+    * mode 'shard' — token-budget contiguous sharding via the two-level
+      skew-safe cumulative sum (id_bucket shrunk to exercise
+      multi-bucket offsets at sf scale); bucket = shard id, offset =
+      the doc's global start offset.
+    * mode 'pack' — GPT-style fixed-length sequence packing
+      (corpus.pack_sequences, seq_len 512): documents span cuts, one
+      row per (doc, sequence) overlap; bucket = seq id, offset = the
+      doc's start position WITHIN the sequence, n_tokens = the overlap
+      length. The oracle re-derives the global cumsum, the
+      generate_series fan-out, and the overlap arithmetic in SQL."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return CORPUS.token_shards(
+    shard = CORPUS.token_shards(
         docs, max_tokens_per_shard=1000, id_bucket=64
+    ).select(
+        F.lit("shard").alias("mode"), "doc_id", "n_tokens",
+        F.col("start_offset").alias("offset"),
+        F.col("shard").alias("bucket"),
     )
+    pack = CORPUS.pack_sequences(docs, seq_len=512, id_bucket=64).select(
+        F.lit("pack").alias("mode"), "doc_id",
+        F.col("n_tokens_in_seq").alias("n_tokens"),
+        F.col("seq_tok_start").alias("offset"),
+        F.col("seq_id").alias("bucket"),
+    )
+    return shard.unionByName(pack)
 
 
 def _q_corpus_decontaminate(spark, sf):
@@ -2647,13 +2667,32 @@ def oracle_sql() -> dict[str, str]:
                                  trim(text), '\\s+')) END)::bigint
                            AS n_tokens
                 FROM documents
+            ), off AS (
+                SELECT doc_id, n_tokens,
+                       (sum(n_tokens) OVER (ORDER BY doc_id)
+                        - n_tokens)::bigint AS start_offset
+                FROM t
+            ), pk AS (
+                SELECT doc_id, n_tokens, start_offset,
+                       unnest(generate_series(
+                           start_offset // 512,
+                           (start_offset + n_tokens - 1) // 512
+                       )) AS seq_id
+                FROM off WHERE n_tokens > 0
             )
-            SELECT doc_id, n_tokens,
-                   (sum(n_tokens) OVER (ORDER BY doc_id)
-                    - n_tokens)::bigint AS start_offset,
-                   ((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
-                    // 1000)::bigint AS shard
-            FROM t
+            SELECT 'shard' AS mode, doc_id, n_tokens,
+                   start_offset AS offset,
+                   (start_offset // 1000)::bigint AS bucket
+            FROM off
+            UNION ALL
+            SELECT 'pack' AS mode, doc_id,
+                   (least(start_offset + n_tokens, (seq_id + 1) * 512)
+                    - greatest(start_offset, seq_id * 512))::bigint
+                       AS n_tokens,
+                   (greatest(start_offset, seq_id * 512)
+                    - seq_id * 512)::bigint AS offset,
+                   seq_id::bigint AS bucket
+            FROM pk
         """,
         "corpus_decontaminate": """
             WITH toks AS (

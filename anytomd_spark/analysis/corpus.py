@@ -113,6 +113,54 @@ def hash_sample(
     return docs.filter(expr)
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_bucket: int = 1 << 20,
+) -> DataFrame:
+    """GPT-style sequence packing: the corpus's whitespace tokens,
+    concatenated in ``id_col`` order, are cut into fixed-length
+    training sequences of ``seq_len`` tokens; documents SPAN cuts (the
+    standard concat-then-chunk packing — no padding, no greedy reflow).
+    Output is the doc->sequence overlap map, one row per (document,
+    sequence) intersection: (id_col, seq_id, seq_tok_start,
+    n_tokens_in_seq) — enough for a writer to materialize any sequence
+    by slicing its member documents. Zero-token documents contribute
+    nothing and emit no rows.
+
+    Plan shape: global token offsets come from the same two-level
+    skew-safe cumulative sum as :func:`token_shards` (no single task
+    sees the whole corpus ordering); the per-doc sequence fan-out is a
+    JVM ``sequence``/``explode`` bounded by 1 + n_tokens/seq_len rows
+    per document; everything downstream is expression arithmetic. Zero
+    Python, two small shuffles (bucket offsets + the per-bucket
+    window)."""
+    base = token_shards(
+        docs, max_tokens_per_shard=seq_len, id_col=id_col,
+        text_col=text_col, id_bucket=id_bucket,
+    )
+    first = F.floor(F.col("start_offset") / seq_len).cast("long")
+    last = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - 1) / seq_len
+    ).cast("long")
+    spans = base.filter(F.col("n_tokens") > 0).select(
+        id_col, "n_tokens", "start_offset",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * seq_len
+    tok_start = F.greatest(F.col("start_offset"), seq_start)
+    tok_end = F.least(
+        F.col("start_offset") + F.col("n_tokens"), seq_start + seq_len
+    )
+    return spans.select(
+        id_col, "seq_id",
+        (tok_start - seq_start).alias("seq_tok_start"),
+        (tok_end - tok_start).alias("n_tokens_in_seq"),
+    )
+
+
 def temperature_mix_rates(
     docs: DataFrame,
     alpha: float = 0.5,

@@ -799,6 +799,56 @@ def test_hash_sample_deterministic_monotone_pushdown(spark):
     assert "Exchange" not in buf.getvalue()
 
 
+def test_pack_sequences_matches_naive_and_invariants(spark):
+    """GPT-style packing vs a literal Python prefix-sum reference:
+    correct (seq_id, seq_tok_start, n_tokens_in_seq) for every
+    (doc, sequence) overlap, docs spanning cuts, zero-token docs
+    absent, and global invariants (every sequence except the last is
+    exactly full; per-doc overlap totals its token count)."""
+    from anytomd_spark.analysis import corpus as CORPUS
+
+    L = 16
+    texts = {
+        0: "one two three four five six seven eight nine ten",   # 10
+        1: " ".join(f"w{i}" for i in range(25)),                 # 25: spans
+        2: "",                                                   # 0: absent
+        3: "a b c",                                              # 3
+        4: " ".join(f"x{i}" for i in range(40)),                 # 40: 3+ seqs
+        5: "tail end words",                                     # 3
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.seq_id, r.seq_tok_start, r.n_tokens_in_seq)
+        for r in CORPUS.pack_sequences(docs, seq_len=L).collect()
+    )
+
+    want, cum = [], 0
+    for did in sorted(texts):
+        n = len(texts[did].split())
+        if n == 0:
+            continue
+        start, end = cum, cum + n
+        for seq in range(start // L, (end - 1) // L + 1):
+            lo, hi = max(start, seq * L), min(end, (seq + 1) * L)
+            want.append((did, seq, lo - seq * L, hi - lo))
+        cum = end
+    assert got == sorted(want)
+
+    total = sum(len(t.split()) for t in texts.values())
+    per_seq = {}
+    for _, seq, _, n in got:
+        per_seq[seq] = per_seq.get(seq, 0) + n
+    last = max(per_seq)
+    assert all(per_seq[s] == L for s in per_seq if s != last)
+    assert per_seq[last] == total - L * last
+    per_doc = {}
+    for did, _, _, n in got:
+        per_doc[did] = per_doc.get(did, 0) + n
+    assert per_doc == {d: len(t.split())
+                       for d, t in texts.items() if t.split()}
+
+
 def _temp_mix_docs(spark):
     """Skewed 3-group corpus: 600 / 150 / 50 docs."""
     return spark.range(800).select(
