@@ -849,6 +849,90 @@ def test_pack_sequences_matches_naive_and_invariants(spark):
                        for d, t in texts.items() if t.split()}
 
 
+def test_pack_sequences_hypothesis_differential(spark):
+    """Randomized corpora (zero-token docs, random lengths, random
+    seq_len) vs the literal prefix-sum reference — the property form of
+    the naive-parity test."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from anytomd_spark.analysis import corpus as CORPUS
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        counts=st.lists(st.integers(min_value=0, max_value=40),
+                        min_size=1, max_size=12),
+        L=st.integers(min_value=1, max_value=30),
+    )
+    def prop(counts, L):
+        texts = {i: " ".join(f"t{i}x{j}" for j in range(n))
+                 for i, n in enumerate(counts)}
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.seq_id, r.seq_tok_start, r.n_tokens_in_seq)
+            for r in CORPUS.pack_sequences(docs, seq_len=L).collect()
+        )
+        want, cum = [], 0
+        for did in sorted(texts):
+            n = counts[did]
+            if n == 0:
+                continue
+            start, end = cum, cum + n
+            for seq in range(start // L, (end - 1) // L + 1):
+                lo, hi = max(start, seq * L), min(end, (seq + 1) * L)
+                want.append((did, seq, lo - seq * L, hi - lo))
+            cum = end
+        assert got == sorted(want)
+
+    prop()
+
+
+def test_line_dedup_hypothesis_differential(spark):
+    """Random corpora over a tiny line alphabet (forcing cross-doc and
+    within-doc collisions) vs a literal first-occurrence reference."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    lines_alphabet = [
+        "shared boilerplate line alpha beta",   # >= 10 chars: dedup-able
+        "another repeated navigation line",
+        "third common footer line here",
+        "short",                                # < 10 chars: always kept
+        "}",
+        "",
+    ]
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(docs_spec=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5),
+                 min_size=0, max_size=6),
+        min_size=1, max_size=8,
+    ))
+    def prop(docs_spec):
+        texts = {i: "\n".join(lines_alphabet[j] for j in spec)
+                 for i, spec in enumerate(docs_spec)}
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string")
+        got = {r.doc_id: (r.n_kept, r.text_dedup)
+               for r in DD.line_dedup(docs).collect()}
+        seen, want = set(), {}
+        for did in sorted(texts):
+            kept = []
+            for idx, line in enumerate(texts[did].split("\n")):
+                if len(line) < 10:
+                    kept.append(line)
+                elif line not in seen:
+                    seen.add(line)
+                    kept.append(line)
+            want[did] = (len(kept), "\n".join(kept))
+        assert got == want
+
+    prop()
+
+
 def _temp_mix_docs(spark):
     """Skewed 3-group corpus: 600 / 150 / 50 docs."""
     return spark.range(800).select(
