@@ -58,16 +58,27 @@ def _col_index(letters: str) -> int:
     return n - 1
 
 
+_INF = float("inf")
+
+
 def format_float(f: float) -> str:
-    """Rust ``f64::to_string`` = shortest round-trip, like Python repr."""
-    if f != f or f in (float("inf"), float("-inf")):
-        return {float("inf"): "inf", float("-inf"): "-inf"}.get(f, "NaN")
-    if f == int(f):
-        if abs(f) < 1e17:
+    """Rust ``f64::to_string`` = shortest round-trip, like Python repr.
+
+    Branch order is the whole-number fast path first: ``is_integer`` is
+    one C call (False for NaN/inf, so those fall through safely) and
+    spreadsheet cells are overwhelmingly whole numbers."""
+    if f.is_integer():
+        if -1e17 < f < 1e17:
             return str(int(f))  # format_cell: fract()==0 -> "{:.0}"
         # Rust {:.0}/Display expand digits positionally even for huge
         # whole values; repr() would switch to '1e+20'-style notation
         return f"{f:.0f}"
+    if f != f:
+        return "NaN"
+    if f == _INF:
+        return "inf"
+    if f == -_INF:
+        return "-inf"
     return repr(f)
 
 
@@ -431,15 +442,26 @@ def _fast_sheet_cells(
                 errors[key] = err
         else:  # "n" or unknown explicit type: numeric
             if raw:
-                try:
-                    f = float(raw)
-                except ValueError:
+                # plain small integer (no sign/point/exponent/leading
+                # zero): float->int->str round-trips to raw itself —
+                # skip the conversions for the dominant cell type
+                # isascii guard: isdigit() alone accepts e.g.
+                # Arabic-Indic digits, which float() parses but which
+                # would NOT round-trip back to raw
+                if raw.isascii() and raw.isdigit() and raw[0] != "0" \
+                        and len(raw) <= 15 \
+                        and (s is None or s not in date_styles):
                     cells[key] = raw
                 else:
-                    if s is not None and s in date_styles:
-                        cells[key] = _format_datetime(f)
+                    try:
+                        f = float(raw)
+                    except ValueError:
+                        cells[key] = raw
                     else:
-                        cells[key] = format_float(f)
+                        if s is not None and s in date_styles:
+                            cells[key] = _format_datetime(f)
+                        else:
+                            cells[key] = format_float(f)
                 if errors:
                     errors.pop(key, None)
 
