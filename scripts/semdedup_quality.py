@@ -74,25 +74,53 @@ def main() -> None:
     ).repartition(cpus).persist()
     n_aug = aug.count()
 
-    # TRUE pair set: brute-force upper-triangle cosine >= tau
-    a = aug.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = aug.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    # TRUE pair set: brute-force upper-triangle cosine >= tau for small
+    # corpora; above ~5k vectors the quadratic reference is the thing
+    # this operator exists to avoid, so the truth is the SEEDED pairs
+    # (noisy copies at cos ~0.93-0.99; random 64-dim pairs essentially
+    # never reach tau=0.9 — the small-corpus brute force confirms the
+    # seeded set IS the true set at this tau)
     t0 = time.time()
-    true_pairs = {
-        (r.a, r.b)
-        for r in a.join(b, F.col("a") < F.col("b"))
-        .filter(SIM.cosine_np(F.col("va"), F.col("vb")) >= tau)
-        .select("a", "b").collect()
-    }
+    if n <= 5000:
+        a = aug.select(F.col("vec_id").alias("a"),
+                       F.col("embedding").alias("va"))
+        b = aug.select(F.col("vec_id").alias("b"),
+                       F.col("embedding").alias("vb"))
+        true_pairs = {
+            (r.a, r.b)
+            for r in a.join(b, F.col("a") < F.col("b"))
+            .filter(SIM.cosine_np(F.col("va"), F.col("vb")) >= tau)
+            .select("a", "b").collect()
+        }
+        truth = "brute_force"
+    else:
+        seeded = aug.filter(F.col("vec_id") >= 1_000_000).select(
+            (F.col("vec_id") - 1_000_000).alias("a"),
+            F.col("vec_id").alias("b"),
+            F.col("embedding").alias("vb"),
+        )
+        orig = aug.select(F.col("vec_id").alias("a"),
+                          F.col("embedding").alias("va"))
+        true_pairs = {
+            (r.a, r.b)
+            for r in seeded.join(orig, "a")
+            .filter(SIM.cosine_np(F.col("va"), F.col("vb")) >= tau)
+            .select("a", "b").collect()
+        }
+        truth = "seeded_pairs"
     brute_sec = round(time.time() - t0, 2)
 
     out = {
         "sf_dir": sf_dir, "n_vectors": n_aug, "n_seeded_copies": n_seed,
-        "tau": tau, "noise_sigma": sigma,
-        "true_pairs": len(true_pairs), "brute_force_sec": brute_sec,
+        "tau": tau, "noise_sigma": sigma, "truth": truth,
+        "true_pairs": len(true_pairs), "truth_sec": brute_sec,
         "variants": {},
     }
-    for n_clusters in (1, 4, 16, 64):
+    # the k=1 quadratic reference only runs where its one-group GEMM
+    # fits a task (n^2 doubles); above that the clustered points stand
+    # against the seeded truth alone
+    ks = (1, 4, 16, 64) if n_aug <= 5000 else (16, 64, 256)
+    for n_clusters in ks:
         t0 = time.time()
         res = SIM.semantic_dedup(
             aug, threshold=tau, n_clusters=n_clusters,
