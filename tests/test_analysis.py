@@ -354,6 +354,21 @@ def test_semantic_dedup_target_cluster_size(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, explicit))
 
 
+def test_semantic_dedup_string_ids(spark):
+    """The group-kernel schema derives the id type from the input, so
+    non-numeric ids must work end to end; keep-order ties break on the
+    STRING id (lexicographic) for exact-copy pairs."""
+    rows, _ = _semdedup_corpus(spark)
+    srows = [(f"doc{i:03d}", v) for i, v in rows]
+    emb = spark.createDataFrame(
+        srows, "vec_id string, embedding array<double>")
+    got = {r.vec_id: r.is_dup for r in
+           SIM.semantic_dedup(emb, threshold=0.999, n_clusters=4).collect()}
+    assert len(got) == len(srows)
+    assert not got["doc000"] and got["doc030"]  # exact pair: min id kept
+    assert sum(got[f"doc{i:03d}"] for i in (5, 31, 32)) == 2
+
+
 def test_semantic_dedup_max_cluster_cap(spark):
     """Clusters over the cap are degenerate: they emit no pairs, so all
     their members survive (same cap contract as _bucket_pairs)."""
