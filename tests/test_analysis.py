@@ -251,7 +251,15 @@ def test_ivf_ann_recall_and_determinism(spark):
 
 def _semdedup_corpus(spark):
     """3 gaussian blobs with seeded duplicate groups: exact copies
-    (cos = 1) and a same-direction scaled chain (cos ~ 1 to neighbors)."""
+    (cos = 1) and a scaled near-parallel member (cos ~ 1 to vec 5).
+
+    Vec 32 is nudged slightly OFF the exact ray of vec 5 (cos still
+    0.9999989 >= every threshold used here): an exactly-scaled copy has
+    a cent_sim equal to vec 5's up to the last ulp, and the keep-order
+    between them then depends on which BLAS kernel rounds the GEMM —
+    the differential test would pin a cross-environment fp tie. The
+    nudge separates the cent_sims by ~1e-5, far above rounding noise,
+    so both implementations order the pair identically everywhere."""
     import numpy as np
 
     rng = np.random.default_rng(9)
@@ -259,7 +267,8 @@ def _semdedup_corpus(spark):
     vecs = [centers[i % 3] + 0.4 * rng.standard_normal(16) for i in range(30)]
     vecs.append(vecs[0].copy())            # 30: exact dup of 0
     vecs.append(vecs[5].copy())            # 31: exact dup of 5
-    vecs.append(vecs[5] * 3.0)             # 32: same direction as 5
+    vecs.append(vecs[5] * 3.0              # 32: near-parallel to 5
+                + 0.02 * np.random.default_rng(123).standard_normal(16))
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
     return rows, spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
