@@ -31,6 +31,28 @@ from anytomd_spark.analysis.dedup import tokenize, word_shingles
 from anytomd_spark.analysis.text_quality import token_count
 
 
+def _word_shingles_udf_input(tokens_col, n: int = 3):
+    """Single-scope-lambda twin of :func:`word_shingles`, value-identical.
+
+    Kept ONLY for the one place a shingle expression becomes a Python
+    UDF's input (the Bloom decontaminate flag stage): predicate pushdown
+    inlines the expression into the UDF call, and Spark 4.1's Python-UDF
+    extraction cannot handle an input whose lambda bodies reference an
+    ENCLOSING lambda's variable (word_shingles' bound-token form) — the
+    UDF is left unextracted in the Filter and evaluation dies with an
+    INTERNAL_ERROR. This form re-evaluates ``tokens_col`` once per
+    shingle position when inlined (the pre-r7 behavior, quadratic in
+    words — acceptable on the non-default bloom path), but every lambda
+    only references its own variable, which extraction handles."""
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens_col) - n),
+            lambda i: F.array_join(F.slice(tokens_col, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(tokens_col, " ")))
+
+
 def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     """(name, 8-hex-char upper bound) per split, cumulative over the
     weight order. A document lands in the first split whose bound its
@@ -492,11 +514,22 @@ def decontaminate(
         # runs on bloom HITS only. Measured: the nondeterministic
         # fence costs ~2x on the flag stage (it blocks the
         # efficient eval path), while the inline costs nothing.
+        #
+        # This branch uses _word_shingles_udf_input (the single-scope
+        # lambda form) rather than word_shingles: the r7 bound-token
+        # rewrite nests a lambda inside another lambda's scope, and
+        # Spark 4.1 fails to extract a Python UDF whose (pushdown-
+        # inlined) input contains such a cross-scope lambda — the raw
+        # PythonUDF is left in the Filter and the job dies with
+        # INTERNAL_ERROR "Cannot evaluate expression" at runtime
+        # (reproduced minimally; the nondeterministic fence does not
+        # stop the inline either). Values are identical; only this
+        # UDF-input site needs the extraction-safe shape.
         shingled = docs.select(
             F.col(id_col),
-            F.array_distinct(word_shingles(tokenize(text_col), shingle_n)).alias(
-                "_sh"
-            ),
+            F.array_distinct(
+                _word_shingles_udf_input(tokenize(text_col), shingle_n)
+            ).alias("_sh"),
         )
         # _sh must be a bound column before the hash transform
         # (HOF lambdas re-inline expressions — PLANS.md round-4).

@@ -134,14 +134,29 @@ def tokenize(text_col: str = "text"):
 
 
 def word_shingles(tokens_col, n: int = 3):
-    """n-gram word shingles via sequence+transform (JVM-side, no UDF)."""
-    return F.when(
-        F.size(tokens_col) >= n,
+    """n-gram word shingles via sequence+transform (JVM-side, no UDF).
+
+    ``tokens_col`` is bound ONCE as a lambda variable (1-element-array
+    transform + element_at) instead of being inlined into the per-
+    position lambda: higher-order functions evaluate interpreted with
+    no common-subexpression elimination, so the inlined form re-ran the
+    whole tokenize split() for EVERY shingle position — O(words^2)
+    regex work per document (measured 8x on the decontaminate shape at
+    sf0.1). The bound form evaluates the token expression once per row
+    and the per-position lambda only slices the materialized array."""
+    return F.element_at(
         F.transform(
-            F.sequence(F.lit(0), F.size(tokens_col) - n),
-            lambda i: F.array_join(F.slice(tokens_col, i + 1, n), " "),
+            F.array(tokens_col),
+            lambda toks: F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join(toks, " "))),
         ),
-    ).otherwise(F.array(F.array_join(tokens_col, " ")))
+        1,
+    )
 
 
 def _seeded_rehash(seed: int):
