@@ -844,7 +844,9 @@ def _q_stream_quality_gate(spark, sf):
 def _q_media_features(spark, sf):
     from anytomd_spark.analysis.multimodal import extract_features, synthesize_media
 
-    media = synthesize_media(spark, n=48)
+    # pre-kernel coalesce: pack the one-row synth partitions before the
+    # Python feature kernel (runner setup dominates at this row count)
+    media = synthesize_media(spark, n=48).coalesce(8)
     return extract_features(media).select(
         "media_id", "kind", "n_bytes", "sha256"
     )
@@ -911,12 +913,18 @@ def _q_media_image_features(spark, sf):
         synthesize_png_media,
     )
 
+    # coalesce each synth BEFORE its feature kernel, never after: a
+    # post-kernel coalesce makes the merged task create one Python
+    # runner PER PARENT PARTITION serially (~0.2 s each — the old
+    # trailing coalesce(4) over 72 one-row partitions cost ~3 s of
+    # serial runner setup); pre-kernel coalesce gives 4 parallel
+    # runner tasks per leg and the same packed output
     parts = (
-        ("png", png_features(synthesize_png_media(spark, n=24)),
+        ("png", png_features(synthesize_png_media(spark, n=24).coalesce(4)),
          "channels", 0),
-        ("gif", gif_features(synthesize_gif_media(spark, n=24)),
+        ("gif", gif_features(synthesize_gif_media(spark, n=24).coalesce(4)),
          "n_frames", 100),
-        ("jpeg", jpeg_features(synthesize_jpeg_media(spark, n=24)),
+        ("jpeg", jpeg_features(synthesize_jpeg_media(spark, n=24).coalesce(4)),
          "n_components", 200),
     )
     out = None
@@ -929,7 +937,7 @@ def _q_media_image_features(spark, sf):
             "pixel_md5", "mean_lum",
         )
         out = d if out is None else out.union(d)
-    return out.coalesce(4)
+    return out
 
 
 def _q_media_resized(spark, sf):
@@ -1006,7 +1014,9 @@ def _q_media_wav_features(spark, sf):
         synthesize_flac_media(spark, n=24).withColumn(
             "media_id", F.col("media_id") + 100
         )
-    )
+    # pre-kernel coalesce: 8 parallel Python-runner tasks instead of 48
+    # one-row ones (runner setup dominates at this row count)
+    ).coalesce(8)
     return wav_audio_features(media).select(
         "media_id", "sample_rate", "channels", "bit_depth", "n_frames",
         "duration_ms", "rms", "peak",
