@@ -157,10 +157,26 @@ def _markdown_union(fmts: tuple):
     several formats (fmt is part of the output, so a wrong dispatch or a
     wrong conversion for ANY member format hash-mismatches). Keeps the
     driver's capped correctness budget free for the non-constant
-    queries while every converter stays value-gated."""
+    queries while every converter stays value-gated.
+
+    The payload format is a pure function of ``doc_id % 11``
+    (derive.FMT_BY_MOD — the very contract the oracle re-derives), so
+    the member buckets are filtered JVM-side BEFORE the conversion
+    kernel: Spark cannot push the post-kernel fmt filter into an opaque
+    mapInPandas, and without the pre-filter each union leg converted
+    the other legs' rows just to throw them away (guide §4.1: filter
+    before the Python boundary). The post-kernel fmt filter stays as
+    the semantic gate; results are identical."""
+    from anytomd_spark.derive import FMT_BY_MOD
+
+    buckets = [m for m, f in enumerate(FMT_BY_MOD) if f in fmts]
+
     def q(spark, sf):
+        t = documents_transcripts(spark, sf).filter(
+            F.pmod(F.col("doc_id"), F.lit(11)).isin(buckets)
+        )
         return (
-            _converted(spark, sf)
+            convert_transcripts(t)
             .filter(F.col("fmt").isin(list(fmts)))
             .select("doc_id", "fmt", "markdown")
         )
@@ -181,8 +197,17 @@ def _q_convert_metrics(spark, sf):
 
 
 def _q_convert_turn_ordering(spark, sf):
+    """Stable turn ordering (R2). The selected columns (conv_id,
+    turn_idx, turn_seq) are fully determined by the transcript rows —
+    the conversion kernel is 1:1 and passes them through — so the rank
+    runs directly on the raw transcripts: Spark cannot prune compute
+    out of an opaque mapInPandas, so feeding the kernel here was pure
+    dead work (guide §1.2: don't compute what you throw away). The
+    conversion itself stays value-gated by the four convert_* queries
+    that read its outputs."""
+    t = documents_transcripts(spark, sf)
     return ordered_output(
-        _converted(spark, sf), turns=_turns_slim(spark, sf)
+        t, turns=t.select("conv_id", "turn_idx")
     ).select("conv_id", "turn_idx", "turn_seq")
 
 
@@ -1034,9 +1059,13 @@ def _q_convert_mega_conversation(spark, sf):
         F.col("doc_id").cast("int").alias("turn_idx"),
         "role", "text", "tool", "ts",
     )
-    conv = convert_transcripts(t)
+    # the selected output (conv_id, turn_idx, turn_seq) is fully
+    # determined by t — the conversion kernel is 1:1 and opaque to the
+    # optimizer, so running it here was unprunable dead work; the
+    # skew-safe two-level rank (the thing this query gates) is
+    # exercised identically on the raw turns
     out = ordered_output(
-        conv, turns=t.select("conv_id", "turn_idx"), seq_bucket=1024
+        t, turns=t.select("conv_id", "turn_idx"), seq_bucket=1024
     )
     return out.select("conv_id", "turn_idx", "turn_seq")
 
