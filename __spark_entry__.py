@@ -132,6 +132,35 @@ def _turns_slim(spark, sf):
     return documents_transcripts(spark, sf).select("conv_id", "turn_idx")
 
 
+def _docs(spark, sf, spread: bool = False):
+    """documents.parquet; with ``spread=True`` the scan is spread to
+    the session's parallelism when the source layout under-parallelizes
+    it (classifier.py's sizing pattern, applied at the read): the
+    sf-dir documents table is ONE file with ONE row group, so every
+    map-heavy expression over it ran in a single task — a 32x
+    parallelism loss the file split config cannot fix (byte-range
+    splits cannot divide a row group). The round-robin repartition
+    shuffles only this tiny table; a production input with >=
+    defaultParallelism files passes through untouched, so the knob is
+    scale-adaptive, not local-tuned.
+
+    ``spread`` is opt-in per query because the extra exchange + stage
+    costs ~0.3-0.6 s at this session shape: A/B per query (one
+    session, interleaved) showed 2-3x WINS for the token/regex-heavy
+    scans (repetition, fingerprints, pdf, langid, main-content,
+    redact, winnowed spans, the minhash signature build) and losses
+    for everything whose per-row work is a hash or a couple of cheap
+    expressions (exact/simhash dedup, shards, split, sample_mix,
+    unigram, decontaminate post-r7, token_stats) — those keep the
+    single-task scan and let their first shuffle do the spreading."""
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    if spread:
+        n = spark.sparkContext.defaultParallelism
+        if len(df.inputFiles()) < n:
+            df = df.repartition(n)
+    return df
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline over sf0.001-derived transcripts."""
     out = ordered_output(_converted(spark, SF0001), turns=_turns_slim(spark, SF0001))
@@ -221,7 +250,7 @@ def _q_dedup_exact(spark, sf):
       each row is a document with its surviving-line count and the md5
       of its reconstructed text; first occurrence wins via a skew-safe
       min-struct aggregate (no window over hot boilerplate lines)."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     doc_leg = DD.exact_dedup_groups(docs, with_hash=True).select(
         F.lit("doc").alias("kind"), "doc_id",
         F.col("group_size").alias("n"),
@@ -238,7 +267,7 @@ def _q_dedup_exact(spark, sf):
 def _q_dedup_ngram_jaccard(spark, sf):
     """Exact 3-gram Jaccard for fixed adjacent-id pairs (value oracle via
     DuckDB list_intersect/list_distinct)."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     pairs = docs.select(
         F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
     ).filter(F.col("a") % 10 == 0)
@@ -261,7 +290,7 @@ def _verified_pairs(spark, sf):
 
     key = (spark.sparkContext.applicationId, sf)
     if key not in _VERIFIED_PAIRS_CACHE:
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs = _docs(spark, sf, spread=True)
         # persist the candidate set: the verify stage consumes the pairs
         # plan twice (candidate-id semi-join + the verify join), and this
         # plan is the full corpus-wide minhash pipeline; the pair table
@@ -287,7 +316,7 @@ def _q_dedup_simhash(spark, sf):
     16-bit blocking, capped-bucket candidate pairs, and exact Hamming
     (bit_count(xor)) in DuckDB — value-level for everything except the
     xxhash64 primitive itself."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     path = _sig_path("simhash_sigs", sf)
     _write_sig_once(DD.simhash64(docs), path)
     sigs = spark.read.parquet(path)
@@ -305,7 +334,7 @@ def _q_dedup_clusters(spark, sf):
     Oracle: brute-force true near-dup pairs (proven equal to the LSH set
     by the dedup_minhash_pairs gate) + a recursive-CTE closure + the
     same corpus left join."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     clusters = DD.dedup_clusters(
         _verified_pairs(spark, sf)
     ).withColumnRenamed("id", "doc_id")
@@ -323,7 +352,7 @@ def _q_dedup_shared_spans(spark, sf):
     pairs sharing verbatim >= k+w-1 token runs via winnow-selected
     md5 span fingerprints; the oracle recomputes fingerprint selection,
     bucketing, and pair counts entirely in SQL."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf, spread=True)
     return DD.shared_span_pairs(docs, k=8, window=4).select(
         "a", "b", "n_shared")
 
@@ -400,7 +429,7 @@ def _q_sim_semantic_dedup(spark, sf):
 
 
 def _q_text_token_stats(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     return (
         docs.select(
             "lang",
@@ -419,14 +448,14 @@ def _q_text_token_stats(spark, sf):
 
 def _q_text_quality_filter(spark, sf):
     """Documents surviving the quality gate (min tokens + punct ceiling)."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     return TQ.quality_filter(docs, min_tokens=5, max_punct_ratio=0.3).select(
         "doc_id"
     )
 
 
 def _q_text_quality(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf, spread=True)
     scored = TQ.quality_scores(docs)
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -438,7 +467,7 @@ def _q_text_quality(spark, sf):
 
 
 def _q_text_langid(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf, spread=True)
     return (
         TQ.lang_id(docs)
         .groupBy("lang", "lang_pred")
@@ -450,7 +479,7 @@ def _q_text_unigram_logprob(spark, sf):
     """Unigram-LM quality score (perplexity-filter stand-in): corpus
     top-20 vocabulary with add-0.5 smoothing, so the OOV path is
     genuinely exercised (the corpus has ~31 distinct tokens)."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     out = TQ.unigram_logprob(docs, max_vocab=20)
     return out.select(
         "doc_id", "n_tokens",
@@ -463,7 +492,7 @@ def _q_text_redact_pii(spark, sf):
     into every document (derivable in ANSI SQL), then redacted; the
     oracle recomputes the injection AND the redaction and the md5 of the
     scrubbed text must match value-level."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf, spread=True)
     did = F.col("doc_id").cast("string")
     salted = docs.withColumn(
         "text",
@@ -484,7 +513,7 @@ def _q_text_redact_pii(spark, sf):
 
 def _q_text_repetition(spark, sf):
     """Gopher-style repetition signals per document."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf, spread=True)
     out = TQ.repetition_scores(docs)
     return out.select(
         "doc_id",
@@ -495,7 +524,7 @@ def _q_text_repetition(spark, sf):
 
 
 def _q_text_fingerprints(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf, spread=True)
     return TQ.fingerprints(docs)
 
 
@@ -503,7 +532,7 @@ def _q_corpus_split(spark, sf):
     """Deterministic content-independent train/val/test assignment
     (split = f(md5(id:seed))): stable under re-runs and corpus growth,
     zero shuffle. Oracle recomputes the same md5-hex-prefix comparison."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     return CORPUS.deterministic_split(docs, seed=42).select("doc_id", "split")
 
 
@@ -520,7 +549,7 @@ def _q_corpus_shards(spark, sf):
       doc's start position WITHIN the sequence, n_tokens = the overlap
       length. The oracle re-derives the global cumsum, the
       generate_series fan-out, and the overlap arithmetic in SQL."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     shard = CORPUS.token_shards(
         docs, max_tokens_per_shard=1000, id_bucket=64
     ).select(
@@ -548,7 +577,7 @@ def _q_corpus_decontaminate(spark, sf):
     broadcast FEASIBILITY (constant-size bitmap vs a probe hash-set
     that grows with the benchmark suite), not single-node wall time —
     see PLANS.md round-6 session-6."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     probes = docs.filter(F.col("doc_id") % 97 == 0).select("text")
     scanned = docs.filter(F.col("doc_id") % 97 != 0)
     return CORPUS.decontaminate(scanned, probes, shingle_n=5)
@@ -621,7 +650,7 @@ def _q_text_bpe_merges(spark, sf):
     sequential engine's merge table exactly, tie-breaks included."""
     from anytomd_spark.analysis.bpe import train_bpe
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     return train_bpe(docs, n_merges=12)
 
 
@@ -637,7 +666,7 @@ def _q_text_classifier(spark, sf):
     hashing, sigmoid, gradient, update, tie-free by construction."""
     from anytomd_spark.analysis.classifier import train_quality_classifier
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     _, scored = train_quality_classifier(docs)
     return scored
 
@@ -690,7 +719,7 @@ def _q_dedup_lsh_bucket_stats(spark, sf):
     The banded (doc_id, band, band_hash) table is persisted so DuckDB
     recomputes the bucket-size stats from the same rows (value-level for
     the derived logic; the band hash itself is xxhash64-bound)."""
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     path = _sig_path("minhash_banded", sf)
     _write_sig_once(DD.minhash_banded(docs, num_hashes=16, bands=4), path)
     return DD.bucket_stats_from_banded(spark.read.parquet(path))
@@ -1081,7 +1110,7 @@ def _q_html_main_content(spark, sf):
     parser and the classifier are value-gated end-to-end."""
     from anytomd_spark.analysis.web_extract import main_content
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf, spread=True)
     words = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(words)
     # a 0/1-word document yields an empty <p> (no block in the kernel),
@@ -1124,7 +1153,7 @@ def _q_pdf_text_extract(spark, sf):
     pipeline operator."""
     from anytomd_spark.analysis.web_extract import pdf_text, typeset_pdf_udf
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf, spread=True)
     out = pdf_text(
         docs.select(
             "doc_id", typeset_pdf_udf(F.trim(F.col("text"))).alias("pdf")
@@ -1158,7 +1187,7 @@ def _q_corpus_sample_mix(spark, sf):
     not just counts — is value-gated for both."""
     from anytomd_spark.analysis.corpus import hash_sample, temperature_mix
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     fixed = hash_sample(docs, rates=SAMPLE_MIX_RATES).select(
         F.lit("fixed").alias("mode"), "doc_id", "source")
     temp = temperature_mix(
@@ -1247,7 +1276,7 @@ def _q_web_domain_stats(spark, sf):
     split."""
     from anytomd_spark.analysis.web_extract import domain_stats
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf)
     salted = docs.select(
         "doc_id",
         F.concat(
@@ -1271,7 +1300,7 @@ def _q_pdf_layout_lines(spark, sf):
     Td/TD/Tm/T* position tracking or baseline merge hash-mismatches."""
     from anytomd_spark.analysis.web_extract import pdf_layout, typeset_pdf_udf
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _docs(spark, sf, spread=True)
     out = pdf_layout(
         docs.select(
             "doc_id", typeset_pdf_udf(F.trim(F.col("text"))).alias("pdf")
