@@ -651,7 +651,12 @@ def _q_text_bpe_merges(spark, sf):
     from anytomd_spark.analysis.bpe import train_bpe
 
     docs = _docs(spark, sf)
-    return train_bpe(docs, n_merges=12)
+    # scoped state-store sizing (the _stream_shuffle ops knob): 12
+    # merge rounds of tiny vocabulary aggregations don't need CPUS*2
+    # shuffle partitions — 8 cuts the per-round fixed cost; results are
+    # partition-count invariant (global argmax per round)
+    with _stream_shuffle(spark, "8"):
+        return train_bpe(docs, n_merges=12)
 
 
 def _q_text_classifier(spark, sf):

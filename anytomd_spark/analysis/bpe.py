@@ -85,8 +85,10 @@ def train_bpe(
     DataFrame (rank int, left string, right string, pair_count long)
     in merge order — the merge table a tokenizer ships."""
     spark = docs.sparkSession
+    # persist WITHOUT an eager count: the first merge round's job
+    # materializes the cache identically, so the separate count() was
+    # one whole extra pass at zero benefit (r7 job-count audit)
     syms = _symbolize(word_counts(docs, text_col)).persist()
-    syms.count()  # materialize the corpus pass once
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         best = (
@@ -108,7 +110,11 @@ def train_bpe(
             "count",
         )
         if rank % checkpoint_every == 0:
-            syms = syms.localCheckpoint()
+            # lazy: the NEXT round's pair-count job materializes the
+            # checkpoint while doing its own work — eager=True paid a
+            # dedicated extra pass per checkpoint for the same lineage
+            # truncation
+            syms = syms.localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )

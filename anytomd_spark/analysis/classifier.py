@@ -164,8 +164,49 @@ def train_logreg(feat: DataFrame, dim: int = DIM, epochs: int = EPOCHS,
     change every epoch, so nothing caches), which dominates the whole
     job at test scale; the mapInPandas plan is a few nodes, and the
     batch matmul is the same Arrow-kernel pattern the similarity
-    family measured 2-3x faster than interpreted HOF folds."""
+    family measured 2-3x faster than interpreted HOF folds.
+
+    Single-partition fast path: when the (already right-sized) feature
+    table fits in ONE partition — every corpus below the ~100k-row
+    target, i.e. all test/bench scales — the whole epoch loop runs
+    inside ONE task instead of launching one Python runner + collect
+    round-trip per epoch (~0.3 s apiece at the bench shape, 8x). The
+    task receives the same Arrow batches the per-epoch jobs would,
+    computes the same per-batch partials, and sums them with the same
+    ``np.sum`` over the same batch order, so the weights are
+    BIT-IDENTICAL to the distributed loop (locked by
+    test_training_matches_numpy_reference and the all-epochs-unrolled
+    DuckDB oracle, both of which exercise this path). Multi-partition
+    inputs keep the per-epoch distributed aggregation — full-batch GD
+    needs a global gradient barrier between epochs."""
     import numpy as np
+
+    if feat.rdd.getNumPartitions() == 1:
+        def all_epochs(iterator):
+            import numpy as np
+            import pandas as pd
+
+            batches = []
+            for pdf in iterator:
+                if len(pdf):
+                    batches.append((
+                        np.vstack(pdf["x"].to_numpy()),
+                        pdf["label"].to_numpy(dtype=np.float64),
+                    ))
+            w = np.zeros(dim + 1)
+            if batches:
+                n = float(sum(len(y) for _, y in batches))
+                for _ in range(epochs):
+                    parts = [
+                        X.T @ (1.0 / (1.0 + np.exp(-(X @ w))) - y)
+                        for X, y in batches
+                    ]
+                    g = np.sum(parts, axis=0)
+                    w = w - lr * g / n
+            yield pd.DataFrame({"w": [w.tolist()]})
+
+        row = feat.mapInPandas(all_epochs, schema="w array<double>").collect()
+        return [float(v) for v in row[0]["w"]]
 
     w = np.zeros(dim + 1)
     for _ in range(epochs):
