@@ -58,7 +58,17 @@ def build_session(
         # payloads are fat strings: smaller splits -> >=2 tasks/core so
         # heterogeneous per-row conversion cost doesn't leave stragglers
         "spark.sql.files.maxPartitionBytes": "32m",
-        "spark.driver.memory": "8g",
+        # 16g: the suite runs ~60 queries in one long-lived local JVM —
+        # the old 8g heap spent measurable wall time in GC once the
+        # session accumulated codegen classes + block-manager state
+        # (every query ran ~0.5 s slower late-session than isolated).
+        # Driver-side only; executors-on-cluster size independently.
+        "spark.driver.memory": "16g",
+        # headless batch runs: the UI listener processes every task
+        # event on the driver for a UI nobody opens here; opt back in
+        # via extra_conf when debugging interactively (guide §7.1)
+        "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
     }
     conf.update(extra_conf or {})
     for k, v in conf.items():
