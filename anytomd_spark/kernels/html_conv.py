@@ -936,10 +936,24 @@ def _fast_feed(walker: "_Walker", text: str) -> None:
 
 
 def convert_html(data: bytes, fast: bool = True) -> dict:
-    """Convert HTML bytes to (markdown, plain, title) per html.rs:22-40."""
+    """Convert HTML bytes to (markdown, plain, title) per html.rs:22-40.
+
+    Three tiers: the native C walker (kernels/_html_fast.c, ~4x) for
+    documents inside its verified envelope (no charrefs, plain tag
+    markup — it BAILS to Python on anything else, so it can only be
+    faster, never different; byte-parity locked by
+    tests/test_html_native.py over fixtures + fuzz + the bench corpus),
+    then the regex fast tokenizer, then the stdlib html.parser path
+    (``fast=False``) kept as the differential oracle."""
     text = data.decode("utf-8")  # html.rs:27 errors on invalid UTF-8
     if text.startswith("﻿"):
         text = text[1:]
+    if fast:
+        from anytomd_spark.kernels._html_native import convert_html_native
+
+        native = convert_html_native(text)
+        if native is not None:
+            return native
     walker = _Walker()
     if fast:
         _fast_feed(walker, text)
