@@ -66,6 +66,19 @@ def _get_lib():
     return _lib
 
 
+# reusable scratch out-params: the worker calls this once per document
+# from a single thread, and constructing 7 ctypes objects + 8 byrefs per
+# call measured ~27 us each at bench volume
+_md = ctypes.c_char_p()
+_mdn = ctypes.c_size_t()
+_pl = ctypes.c_char_p()
+_pln = ctypes.c_size_t()
+_ti = ctypes.c_char_p()
+_tin = ctypes.c_size_t()
+_has_ti = ctypes.c_int()
+_ARGS = None
+
+
 def convert_html_native(text: str) -> "dict | None":
     """Native conversion of ``text`` (BOM already stripped), or ``None``
     when the Python walker must run instead."""
@@ -82,21 +95,19 @@ def convert_html_native(text: str) -> "dict | None":
     lib = _get_lib()
     if lib is None:
         return None
+    global _ARGS
+    if _ARGS is None:
+        _ARGS = (
+            ctypes.byref(_md), ctypes.byref(_mdn),
+            ctypes.byref(_pl), ctypes.byref(_pln),
+            ctypes.byref(_ti), ctypes.byref(_tin),
+            ctypes.byref(_has_ti),
+        )
     data = text.encode("utf-8")
-    md = ctypes.c_char_p()
-    mdn = ctypes.c_size_t()
-    pl = ctypes.c_char_p()
-    pln = ctypes.c_size_t()
-    ti = ctypes.c_char_p()
-    tin = ctypes.c_size_t()
-    has_ti = ctypes.c_int()
-    rc = lib.html_convert(
-        data, len(data),
-        ctypes.byref(md), ctypes.byref(mdn),
-        ctypes.byref(pl), ctypes.byref(pln),
-        ctypes.byref(ti), ctypes.byref(tin),
-        ctypes.byref(has_ti),
+    md, mdn, pl, pln, ti, tin, has_ti = (
+        _md, _mdn, _pl, _pln, _ti, _tin, _has_ti
     )
+    rc = lib.html_convert(data, len(data), *_ARGS)
     if rc != 0:
         return None  # 1 = oom, 2 = bail -> Python path
     try:

@@ -62,8 +62,45 @@ def detect_by_extension(ext: str) -> str | None:
     return None
 
 
+def _zip_names_raw(data: bytes) -> "list[bytes] | None":
+    """Entry name bytes from the central directory, in directory order,
+    or None when the archive doesn't parse cleanly (caller falls back
+    to zipfile). A fraction of ZipFile's cost: no ZipInfo objects, no
+    name decoding — the introspection prefixes are ASCII, identical
+    under both cp437 and utf-8, so raw bytes suffice."""
+    try:
+        eocd = data.rfind(b"PK\x05\x06", max(0, len(data) - 65557))
+        if eocd < 0 or eocd + 22 > len(data):
+            return None
+        n_entries = int.from_bytes(data[eocd + 10:eocd + 12], "little")
+        cd_off = int.from_bytes(data[eocd + 16:eocd + 20], "little")
+        names: list[bytes] = []
+        pos = cd_off
+        for _ in range(n_entries):
+            if data[pos:pos + 4] != b"PK\x01\x02":
+                return None
+            nlen = int.from_bytes(data[pos + 28:pos + 30], "little")
+            elen = int.from_bytes(data[pos + 30:pos + 32], "little")
+            clen = int.from_bytes(data[pos + 32:pos + 34], "little")
+            names.append(data[pos + 46:pos + 46 + nlen])
+            pos += 46 + nlen + elen + clen
+        return names
+    except Exception:
+        return None
+
+
 def detect_zip_format(data: bytes) -> str | None:
     """Introspect ZIP entry names (detection.rs:54-74)."""
+    names = _zip_names_raw(data)
+    if names is not None:
+        for raw in names:
+            if raw.startswith(b"word/"):
+                return "docx"
+            if raw.startswith(b"ppt/"):
+                return "pptx"
+            if raw.startswith(b"xl/"):
+                return "xlsx"
+        return None
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
             for name in zf.namelist():

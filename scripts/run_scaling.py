@@ -120,11 +120,24 @@ _CONTROL_PDF = None
 
 def _control_task(reps: int) -> float:
     from anytomd_spark.batch import convert_batch
+    from anytomd_spark.kernels import _html_native
 
-    t0 = time.time()
-    for _ in range(reps):
-        convert_batch(_CONTROL_PDF)
-    return time.time() - t0
+    # the control measures the MACHINE (per-core interpreter speed for
+    # cross-round window normalization), so pin the pure-Python kernel
+    # path: the r7 native HTML walker would otherwise fold a code
+    # optimization into the hardware control and break comparability
+    prev = (_html_native._tried, _html_native._lib)
+    _html_native._tried = True
+    _html_native._lib = None
+    try:
+        t0 = time.time()
+        for _ in range(reps):
+            convert_batch(_CONTROL_PDF)
+        return time.time() - t0
+    finally:
+        # the parent-process warmup call must not leave the native path
+        # disabled for whatever the caller runs next
+        _html_native._tried, _html_native._lib = prev
 
 
 def host_control(n_procs: int, n_rows: int = 2000, reps: int = 6,
