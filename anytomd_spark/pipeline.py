@@ -75,6 +75,16 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     _ship_package(spark)
+    # pre-build the native HTML walker on the driver: in local mode the
+    # workers share /tmp, so this removes the 32-parallel-cc race from
+    # the first conversion task of a cold container (workers on a
+    # cluster still build once per node, or silently fall back)
+    try:
+        from anytomd_spark.kernels._html_native import _get_lib
+
+        _get_lib()
+    except Exception:
+        pass
     return spark
 
 
