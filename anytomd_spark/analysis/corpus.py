@@ -220,6 +220,13 @@ def temperature_mix_rates(
     # the SQL oracle, which mirrors this exact expression shape —
     # reproduce the same doubles
     ns = {r[group_col]: float(r["n"]) for r in counts}
+    if any(g is None for g in ns):
+        # r6 advice: sorted() over str-and-None raised an opaque
+        # TypeError; make the contract explicit instead
+        raise ValueError(
+            f"temperature_mix_rates: null {group_col!r} group in the "
+            "corpus — filter or impute null groups before mixing"
+        )
     total = sum(ns[g] for g in sorted(ns))
     s = sum(ns[g] ** alpha for g in sorted(ns))
     return {

@@ -564,8 +564,15 @@ def semantic_dedup(
         .select(vec_col).toPandas()[vec_col]
     )
     # degraded rows (null/ragged) are excluded from TRAINING too — the
-    # dim is fixed by the first conforming vector in id order
-    dim = next(len(v) for v in sample if v is not None)
+    # dim is fixed by the first conforming vector in id order (r6
+    # advice: an all-null/empty sample used to escape as a bare
+    # StopIteration)
+    dim = next((len(v) for v in sample if v is not None), None)
+    if dim is None:
+        raise ValueError(
+            "semantic_dedup: no conforming embeddings in the training "
+            f"sample (sampled {len(sample)} rows from {vec_col!r})"
+        )
     clean = [w for w in (_vec_or_none(v, dim) for v in sample)
              if w is not None]
     vectors = np.asarray(clean, dtype=np.float64)
